@@ -1,0 +1,134 @@
+"""Single simulation config shared by every backend and the CLI.
+
+Replaces the reference's four separate getopt/argparse blocks
+(optimized/main.cu:1286-1478, basic_cuda/main.cu:190-238,
+basic_python/ising_basic.py:42-64, tensorcore/main.cu:402-451) with one
+validated dataclass. Geometry constraints are backend-derived, mirroring the
+reference's tile-math checks (optimized/main.cu:1412-1421).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from .constants import ALPHA_DEF, SEED_DEF, SPINS_PER_WORD, TCRIT
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    # Geometry: Y rows x X columns of the full lattice (both colors).
+    nrows: int = 2048
+    ncols: int = 2048
+
+    # Temperature: explicit `temp` wins, else alpha * TCRIT (reference -t/-a,
+    # optimized/main.cu:1465-1471).
+    temp: float | None = None
+    alpha: float | None = None
+
+    seed: int = SEED_DEF
+
+    # Update backend: "xla" | "dense" (Pallas int8) | "packed" (Pallas 4-bit)
+    # | "mxu" (matmul neighbor sum).
+    backend: str = "xla"
+
+    # RNG mode: "philox" = counter-based Philox4x32-10, bit-reproducible
+    # across backends/shardings; "hw" = fastest native generator per backend.
+    rng: str = "philox"
+
+    # Iterations (reference -w / -n).
+    nwarmup: int = 0
+    niters: int = 1
+
+    # Measurement cadence: fixed every print_freq steps (reference -p) or the
+    # exponential 2^(j/4) schedule (reference -e, optimized/main.cu:1211-1228).
+    print_freq: int = 0
+    print_exp: bool = False
+
+    # Early exit when |magnetization - tgt_magn| < 1e-3 (reference -m).
+    tgt_magn: float | None = None
+
+    # Temperature ramp: temp += temp_step every temp_freq steps, clamped at
+    # MIN_TEMP (reference -u STEP,FREQ, optimized/main.cu:1848-1860).
+    temp_step: float = 0.0
+    temp_freq: int = 0
+
+    # Quenched +-J disorder: probability of an antiferromagnetic link
+    # (reference -J, optimized/main.cu:1374-1378).
+    j_prob: float | None = None
+
+    # Sub-lattice replica mode: wrap periodically inside xsl x ysl tiles
+    # (reference --xsl/--ysl, optimized/main.cu:1423-1463).
+    xsl: int | None = None
+    ysl: int | None = None
+
+    # Number of devices the rows are sharded over (1-D slab decomposition,
+    # the TPU analog of the reference's per-GPU slabs, optimized/main.cu:1627).
+    ndev: int = 1
+
+    # Output toggles (reference -o / -c).
+    dump_lattice: bool = False
+    corr_out: bool = False
+
+    def __post_init__(self):
+        if self.nrows <= 0 or self.ncols <= 0:
+            raise ValueError("lattice dimensions must be positive")
+        if self.ncols % 2:
+            raise ValueError("ncols must be even (checkerboard splits rows in half)")
+        if self.nrows % 2:
+            raise ValueError("nrows must be even (row parity must be periodic)")
+        if (self.ncols // 2) % 4:
+            raise ValueError("ncols must be a multiple of 8 (Philox quad draws)")
+        if self.backend not in ("xla", "dense", "packed", "mxu"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.rng not in ("philox", "hw"):
+            raise ValueError(f"unknown rng mode {self.rng!r}")
+        if self.backend == "packed":
+            # Compact row must fill whole words and a 128-lane register:
+            # X/2 spins / 8 per word must be a multiple of 128 lanes.
+            lane_mult = 2 * SPINS_PER_WORD * 128
+            if self.ncols % lane_mult:
+                raise ValueError(
+                    f"packed backend needs ncols multiple of {lane_mult}")
+        if self.backend == "mxu" and self.ncols % 256:
+            raise ValueError("mxu backend needs ncols multiple of 256")
+        if self.nrows % self.ndev:
+            raise ValueError("nrows must divide evenly over devices")
+        if (self.nrows // self.ndev) % 2:
+            raise ValueError("per-device slab height must be even")
+        if (self.xsl is None) != (self.ysl is None):
+            # Reference derives the missing one from the other; we require both.
+            raise ValueError("specify both xsl and ysl or neither")
+        if self.xsl is not None:
+            if self.ncols % self.xsl or self.xsl % 2:
+                raise ValueError("xsl must be even and divide ncols")
+            if self.nrows % self.ysl or self.ysl % 2:
+                raise ValueError("ysl must be even and divide nrows")
+            if (self.nrows // self.ndev) % self.ysl:
+                raise ValueError(
+                    "ysl must divide the per-device slab height "
+                    f"({self.nrows // self.ndev})")
+        if self.j_prob is not None and not (0.0 <= self.j_prob <= 1.0):
+            raise ValueError("j_prob must be in [0, 1]")
+
+    @property
+    def temperature(self) -> float:
+        if self.temp is not None:
+            return float(self.temp)
+        a = self.alpha if self.alpha is not None else ALPHA_DEF
+        return float(a) * TCRIT
+
+    @property
+    def local_rows(self) -> int:
+        return self.nrows // self.ndev
+
+    @property
+    def nspins(self) -> int:
+        return self.nrows * self.ncols
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimConfig":
+        return cls(**json.loads(s))

@@ -1,0 +1,127 @@
+"""2D Ising model physics: acceptance tables, exact results, disorder.
+
+Numerical contract (shared by every backend, see SURVEY.md §3.5):
+
+  * Spins are stored as bits b in {0,1}; the physical spin is s = 2b - 1.
+  * A Metropolis proposal flips one spin; with J=+1 couplings the energy
+    change is dE = 2 * s * sum(neighbor spins) = 2*(2b-1)*(2*n-4) where
+    n in {0..4} is the *bit* sum of the four neighbors.
+  * The flip is accepted when  u <= exp(-dE / T), u uniform.
+
+The reference precomputes the ten possible exponentials exp((i?-2:2)*(2j-4)/T)
+indexed by [own bit i][neighbor bit sum j] (optimized/main.cu:1683-1697) and
+compares a float uniform against them (optimized/main.cu:652-656). We instead
+compare the raw 32-bit Philox draw against a precomputed uint32 threshold:
+
+  accept  <=>  r <= thr[b][n],   thr = round(min(p,1) * (2^32 - 1))
+
+Integer comparison makes the accept decision bit-exactly reproducible across
+backends (no float contraction/rounding differences between XLA, Pallas and
+the MXU path). The O(2^-32) probability bias is far below statistical noise.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..constants import TCRIT
+
+
+def acceptance_probabilities(temp: float) -> np.ndarray:
+    """Float64 acceptance probabilities p[b][n], b=own bit, n=neighbor bit sum.
+
+    Mirrors the reference's exp table semantics (optimized/main.cu:1683-1697):
+    p[b][n] = exp((b ? -2 : 2) * (2n - 4) / T). For T <= 0 the dynamics
+    degenerate to a greedy quench: accept iff dE < 0, coin-flip on dE == 0
+    (the reference's T==0 special case sets p[.][2] = 0.5).
+    """
+    p = np.empty((2, 5), dtype=np.float64)
+    for b in range(2):
+        for n in range(5):
+            de = 2.0 * (2 * b - 1) * (2 * n - 4)  # energy change of a flip
+            if temp > 0.0:
+                p[b, n] = math.exp(-de / temp)
+            else:
+                p[b, n] = 1.0 if de < 0 else (0.5 if de == 0 else 0.0)
+    return p
+
+
+def threshold_table(temp: float) -> np.ndarray:
+    """uint32 acceptance thresholds, flattened to shape (10,) = [b*5 + n].
+
+    accept <=> draw <= thr. Full-accept classes (p >= 1) get 0xFFFFFFFF.
+    Computed host-side in float64 once per temperature, so every backend
+    consumes the identical integer table.
+    """
+    p = acceptance_probabilities(temp)
+    thr = np.minimum(p, 1.0) * 4294967295.0
+    return np.rint(thr).astype(np.uint64).astype(np.uint32).reshape(10)
+
+
+def onsager_magnetization(temp: float) -> float:
+    """Exact spontaneous |magnetization| of the infinite 2D Ising lattice.
+
+    m = (1 - sinh(2/T)^-4)^(1/8) below T_c, 0 above (Onsager/Yang).
+    The validation target named in BASELINE.md.
+    """
+    if temp <= 0:
+        return 1.0
+    if temp >= TCRIT:
+        return 0.0
+    x = math.sinh(2.0 / temp)
+    return (1.0 - x ** -4) ** 0.125
+
+
+def _ellipk_agm(k: float) -> float:
+    """Complete elliptic integral K(k) (modulus k) via the AGM iteration."""
+    k = min(max(k, 0.0), 1.0 - 1e-15)  # k -> 1 at Tc; clamp for fp safety
+    a, b = 1.0, math.sqrt(1.0 - k * k)
+    for _ in range(60):
+        if abs(a - b) < 1e-17 * a:
+            break
+        a, b = 0.5 * (a + b), math.sqrt(a * b)
+    return math.pi / (2.0 * a)
+
+
+def onsager_energy(temp: float) -> float:
+    """Exact internal energy per spin U(T) of the infinite 2D Ising lattice.
+
+    U = -coth(2/T) * [1 + (2/pi) * (2 tanh^2(2/T) - 1) * K(k)],
+    k = 2 sinh(2/T) / cosh^2(2/T).
+    """
+    beta2 = 2.0 / temp
+    th = math.tanh(beta2)
+    coth = 1.0 / th
+    k = 2.0 * math.sinh(beta2) / (math.cosh(beta2) ** 2)
+    K = _ellipk_agm(k)
+    return -coth * (1.0 + (2.0 / math.pi) * (2.0 * th * th - 1.0) * K)
+
+
+def generate_disorder_links(seed: int, nrows: int, ncols: int, prob: float):
+    """Quenched +-J disorder: Bernoulli(prob) antiferromagnetic link flags.
+
+    Returns (v, h) uint8 full-lattice arrays of shape (nrows, ncols):
+      v[y, x] = 1 if the vertical link (y,x)-(y+1 mod Y, x) is antiferro,
+      h[y, x] = 1 if the horizontal link (y,x)-(y, x+1 mod X) is antiferro.
+
+    The reference generates a black-centric packed J field and derives the
+    white view with an atomicOr scatter (optimized/main.cu:160-331). TPUs
+    have no atomics, so we generate the *links* once on the full lattice and
+    each color projects its own view with shifts/gathers — consistency
+    between the two views holds by construction.
+
+    Flags use 16-bit draw precision: flag = (draw & 0xFFFF) < round(p*2^16).
+    """
+    import jax.numpy as jnp
+
+    from ..rng import TAG_HAMILT, color_draws
+
+    cut = int(round(prob * 65536.0))
+    # Draw one uint32 per link, carving v from tag stream 0 and h from 1.
+    dv = color_draws(seed, nrows, ncols, step=0, tag=TAG_HAMILT | 0)
+    dh = color_draws(seed, nrows, ncols, step=0, tag=TAG_HAMILT | 1)
+    v = ((dv & 0xFFFF) < cut).astype(jnp.uint8)
+    h = ((dh & 0xFFFF) < cut).astype(jnp.uint8)
+    return v, h

@@ -1,0 +1,133 @@
+"""Reference checkerboard sweep in pure jax.numpy (backend "xla").
+
+The semantic ground truth for every other backend: a direct, fusion-friendly
+XLA expression of the same update the reference performs one thread per site
+(basic_cuda/main.cu:54-90, basic_python/ising_basic.py:106-134):
+
+    4-neighbor bit sum of the opposite color  ->  threshold lookup
+    ->  accept iff draw <= thr  ->  flip via XOR.
+
+Runs on CPU (CI), TPU, any XLA target. Supports halos (for sharding),
+sub-lattice replica wrap (reference --xsl/--ysl, optimized/main.cu:1423-1463)
+via static gather maps, and quenched +-J disorder via per-neighbor XOR planes
+(the TPU analog of the packed J-XOR, optimized/main.cu:575-618).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import BLACK
+from ..rng import TAG_SWEEP, color_draws, hw_draws
+
+
+def make_row_wrap_maps(nrows: int, ysl: int):
+    """Static row index maps wrapping vertically inside ysl-row sub-lattices."""
+    i = np.arange(nrows)
+    up = np.where(i % ysl != 0, i - 1, i + ysl - 1)
+    dn = np.where((i + 1) % ysl != 0, i + 1, i - ysl + 1)
+    return jnp.asarray(up), jnp.asarray(dn)
+
+
+def make_col_wrap_maps(ncols_half: int, xsl: int):
+    """Static compact-column maps wrapping horizontally inside sub-lattices."""
+    csl = xsl // 2
+    j = np.arange(ncols_half)
+    left = np.where(j % csl != 0, j - 1, j + csl - 1)
+    right = np.where((j + 1) % csl != 0, j + 1, j - csl + 1)
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+def sweep_color(dst, src, *, color: int, thr10, draws,
+                src_up=None, src_dn=None,
+                row_idx_up=None, row_idx_dn=None,
+                col_idx_left=None, col_idx_right=None,
+                jplanes=None):
+    """One Metropolis half-sweep: update every `dst` site of one color.
+
+    dst/src: compact (H, C) uint8 bit planes (dst color / opposite color).
+    thr10:   uint32 (10,) acceptance thresholds [own_bit*5 + neighbor_sum].
+    draws:   uint32 (H, C) per-site random draws.
+    src_up/src_dn: (1, C) halo rows (opposite color) above/below this slab;
+        for a single unsharded lattice pass src[-1:] and src[:1].
+    row/col index maps: optional static gathers replacing the periodic wrap
+        (sub-lattice replica mode). When row maps are given, halos are unused.
+    jplanes: optional (j_up, j_dn, j_same, j_off) uint8 antiferro flags for
+        the dst color; neighbor bits are XORed before summing.
+
+    Requires even slab heights so local row parity equals global row parity
+    (the reference imposes the same constraint, basic_python/ising_basic.py:61).
+    """
+    H, C = dst.shape
+    if row_idx_up is not None:
+        up = jnp.take(src, row_idx_up, axis=0)
+        dn = jnp.take(src, row_idx_dn, axis=0)
+    else:
+        up = jnp.concatenate([src_up, src[:-1]], axis=0)
+        dn = jnp.concatenate([src[1:], src_dn], axis=0)
+    if col_idx_left is not None:
+        left = jnp.take(src, col_idx_left, axis=1)
+        right = jnp.take(src, col_idx_right, axis=1)
+    else:
+        left = jnp.roll(src, 1, axis=1)
+        right = jnp.roll(src, -1, axis=1)
+
+    row_odd = (jnp.arange(H, dtype=jnp.int32) % 2 == 1)[:, None]
+    same = src
+    # Off-column neighbor: black even rows look left, odd rows right;
+    # white mirrored (basic_cuda/main.cu:73-79).
+    if color == BLACK:
+        off = jnp.where(row_odd, right, left)
+    else:
+        off = jnp.where(row_odd, left, right)
+
+    if jplanes is not None:
+        j_up, j_dn, j_same, j_off = jplanes
+        up = up ^ j_up
+        dn = dn ^ j_dn
+        same = same ^ j_same
+        off = off ^ j_off
+
+    nsum = up + dn + same + off  # bit sum in 0..4, fits uint8
+    idx = (dst * jnp.uint8(5) + nsum).astype(jnp.int32)
+    thr = jnp.take(thr10, idx)
+    accept = (draws <= thr).astype(jnp.uint8)
+    return dst ^ accept
+
+
+class XlaBackend:
+    """Backend adapter: plain uint8 bit-plane storage, pure-XLA sweep."""
+
+    name = "xla"
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        ch = cfg.ncols // 2
+        self._maps = {}
+        if cfg.ysl:
+            self._maps["row_idx_up"], self._maps["row_idx_dn"] = \
+                make_row_wrap_maps(cfg.local_rows, cfg.ysl)
+        if cfg.xsl:
+            self._maps["col_idx_left"], self._maps["col_idx_right"] = \
+                make_col_wrap_maps(ch, cfg.xsl)
+
+    # Storage is the logical bit planes themselves.
+    def encode(self, black_bits, white_bits):
+        return black_bits, white_bits
+
+    def decode(self, black_store, white_store):
+        return black_store, white_store
+
+    def update_color(self, dst, src, *, color, thr10, step, row0=0,
+                     src_up=None, src_dn=None, jplanes=None):
+        H, C = dst.shape
+        if self.cfg.rng == "philox":
+            draws = color_draws(self.cfg.seed, H, C, step=step,
+                                tag=TAG_SWEEP | color, row0=row0, row_stride=C)
+        else:
+            draws = hw_draws(self.cfg.seed, H, C, step=step,
+                             tag=TAG_SWEEP | color)
+        return sweep_color(dst, src, color=color, thr10=thr10, draws=draws,
+                           src_up=src_up, src_dn=src_dn, jplanes=jplanes,
+                           **self._maps)

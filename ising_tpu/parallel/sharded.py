@@ -1,0 +1,94 @@
+"""Sharded (and single-device) step functions: shard_map slab decomposition.
+
+Maps the reference's multi-GPU structure (row slabs, boundary-row halo,
+bulk-synchronous color phases — optimized/main.cu:1762-1805) onto a 1-D
+device mesh: each shard owns `nrows/ndev` rows of both color planes, halo
+rows travel by `ppermute` before each color sweep, and the whole multi-step
+loop is one jitted `fori_loop` with donated buffers (in-place XLA-side, the
+analog of the reference's in-place kernel updates).
+
+RNG counters are derived from *global* row indices (row0 = axis_index *
+slab), so trajectories are bit-identical for any device count — the
+generalization of the reference's --use-common-seed mode
+(basic_python/ising_basic.py:50-52,158-168), made the default.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import BLACK, WHITE
+from .halo import ring_halo_rows
+from .mesh import ROW_AXIS, make_mesh
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
+    """Build (shardings, step_n) for the given config/backend.
+
+    step_n(black, white, thr10, step0, n) runs n MC steps (n may be traced;
+    distinct n values do NOT trigger recompilation) and returns the new
+    planes. black/white are the backend's storage arrays, sharded P(rows)
+    when cfg.ndev > 1.
+
+    jplanes: optional ((j_up,j_dn,j_same,j_off) black, (...) white) disorder
+    planes in backend storage layout, sharded like the lattice.
+    """
+    ndev = cfg.ndev
+
+    def shard_step(b, w, thr, step, jb, jw):
+        if ndev > 1:
+            row0 = lax.axis_index(ROW_AXIS) * cfg.local_rows
+        else:
+            row0 = 0
+        w_up, w_dn = ring_halo_rows(w, ROW_AXIS) if ndev > 1 \
+            else (w[-1:], w[:1])
+        b = backend.update_color(b, w, color=BLACK, thr10=thr, step=step,
+                                 row0=row0, src_up=w_up, src_dn=w_dn,
+                                 jplanes=jb)
+        b_up, b_dn = ring_halo_rows(b, ROW_AXIS) if ndev > 1 \
+            else (b[-1:], b[:1])
+        w = backend.update_color(w, b, color=WHITE, thr10=thr, step=step,
+                                 row0=row0, src_up=b_up, src_dn=b_dn,
+                                 jplanes=jw)
+        return b, w
+
+    def loop(b, w, thr, step0, n, jb, jw):
+        def body(i, carry):
+            bb, ww = carry
+            return shard_step(bb, ww, thr, step0 + i.astype(jnp.uint32), jb, jw)
+        return lax.fori_loop(0, n, body, (b, w))
+
+    if ndev > 1:
+        if mesh is None:
+            mesh = make_mesh(ndev)
+        row_sharded = NamedSharding(mesh, P(ROW_AXIS, None))
+        repl = NamedSharding(mesh, P())
+        plane_spec = P(ROW_AXIS, None)
+        jspec = P() if jplanes is None else (plane_spec,) * 4
+        inner = shard_map(
+            loop, mesh=mesh,
+            in_specs=(plane_spec, plane_spec, P(), P(), P(), jspec, jspec),
+            out_specs=(plane_spec, plane_spec),
+            check_vma=False)
+        shardings = {"plane": row_sharded, "replicated": repl, "mesh": mesh}
+    else:
+        inner = loop
+        shardings = {"plane": None, "replicated": None, "mesh": None}
+
+    jb, jw = (None, None) if jplanes is None else jplanes
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_n(black, white, thr10, step0, n):
+        return inner(black, white, thr10, step0, n, jb, jw)
+
+    return shardings, step_n

@@ -1,0 +1,154 @@
+"""Counter-based Philox4x32-10 RNG in pure JAX uint32 arithmetic.
+
+Why our own Philox: the reference draws all randomness from cuRAND's
+Philox4x32-10 (host API in the basic tiers, basic_cuda/main.cu:243-245; in-kernel
+counter-based `curand_init(seed, tid, offset)` in the optimized tier,
+optimized/main.cu:620-621). Matching cuRAND bit-for-bit is a non-goal, but the
+*property* we must keep is counter-based, order-independent randomness: every
+site draw is a pure function of (seed, site, step, color), so
+
+  * all backends (pure-XLA, Pallas dense, Pallas packed, MXU) produce
+    bit-identical trajectories from one seed,
+  * trajectories are independent of the device count / sharding layout
+    (generalizing the reference's --use-common-seed mode,
+    basic_python/ising_basic.py:50-52,158-168),
+  * checkpoint/resume is exact: state is just (lattice, step, seed).
+
+The implementation uses only 32-bit ops (mul, shift, xor, add), so the very
+same functions run under `jit`, inside `shard_map`, and inside Pallas TPU
+kernels (which have no 64-bit integer support).
+
+Counter layout
+--------------
+One Philox call produces four 32-bit draws, used for four consecutive sites
+along the compact-x axis ("quad"). For a compact color array of logical shape
+(rows, cols) [cols = X/2 sites of one color per row]:
+
+  quad index  q  = row * (cols_global // 4) + col // 4   (64-bit, split lo/hi)
+  counter        = (q_lo, q_hi, step, tag)
+  key            = (seed_lo, seed_hi)
+  draw for site (row, col) = philox_output[col % 4]
+
+`tag` encodes the stream: bit 0 = color, bits 8.. = stream id (sweep / init /
+disorder-init), so streams never collide.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Philox4x32 multipliers and Weyl key increments (Salmon et al., SC'11).
+PHILOX_M0 = 0xD2511F53
+PHILOX_M1 = 0xCD9E8D57
+PHILOX_W0 = 0x9E3779B9
+PHILOX_W1 = 0xBB67AE85
+PHILOX_ROUNDS = 10
+
+# Stream tags (counter word 3). Bit 0 is the checkerboard color.
+TAG_SWEEP = 0x000
+TAG_INIT = 0x100
+TAG_HAMILT = 0x200
+
+
+def _u32(x):
+    return jnp.asarray(x, jnp.uint32)
+
+
+def mulhilo32(a, b):
+    """Full 32x32 -> 64 bit product as (hi, lo) uint32 pair.
+
+    TPUs (and Pallas) have no 64-bit integer multiply, so the high half is
+    assembled from 16-bit partial products. All intermediates fit in uint32.
+    """
+    a = _u32(a)
+    b = _u32(b)
+    al = a & 0xFFFF
+    ah = a >> 16
+    bl = b & 0xFFFF
+    bh = b >> 16
+    lo = a * b  # wraps mod 2^32
+    t = al * bl
+    m1 = ah * bl
+    m2 = al * bh
+    # carry out of bits [16:32) of the full product
+    s = (m1 & 0xFFFF) + (m2 & 0xFFFF) + (t >> 16)
+    hi = ah * bh + (m1 >> 16) + (m2 >> 16) + (s >> 16)
+    return hi, lo
+
+
+def philox4x32(c0, c1, c2, c3, k0, k1, rounds: int = PHILOX_ROUNDS):
+    """Philox4x32 block cipher; returns 4 uint32 draws per counter.
+
+    Inputs may be scalars or arrays (broadcast together). The loop is a
+    Python loop over a static round count, so it fully unrolls under tracing.
+    """
+    c0, c1, c2, c3, k0, k1 = map(_u32, (c0, c1, c2, c3, k0, k1))
+    for r in range(rounds):
+        hi0, lo0 = mulhilo32(PHILOX_M0, c0)
+        hi1, lo1 = mulhilo32(PHILOX_M1, c2)
+        c0, c1, c2, c3 = hi1 ^ c1 ^ k0, lo1, hi0 ^ c3 ^ k1, lo0
+        if r != rounds - 1:
+            k0 = k0 + _u32(PHILOX_W0)
+            k1 = k1 + _u32(PHILOX_W1)
+    return c0, c1, c2, c3
+
+
+def key_from_seed(seed: int):
+    """Split a 64-bit seed into the (lo, hi) Philox key pair."""
+    seed = int(seed)
+    return seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF
+
+
+def quad_counters(nrows: int, nquads: int, *, row0=0, quad0=0, row_stride: int | None = None):
+    """Build the 64-bit quad counters (c0=lo, c1=hi) for a (nrows, nquads) tile.
+
+    row_stride is the number of quads per *global* row (so sharded/blocked
+    tiles of one global lattice draw from disjoint, layout-independent
+    counters). row0/quad0 are the global offsets of this tile and may be
+    traced values (e.g. derived from `jax.lax.axis_index` or a Pallas
+    `pl.program_id`).
+    """
+    if row_stride is None:
+        row_stride = nquads
+    y = jax.lax.broadcasted_iota(jnp.uint32, (nrows, nquads), 0) + _u32(row0)
+    q = jax.lax.broadcasted_iota(jnp.uint32, (nrows, nquads), 1) + _u32(quad0)
+    hi, lo = mulhilo32(y, _u32(row_stride))
+    c0 = lo + q
+    carry = (c0 < lo).astype(jnp.uint32)
+    c1 = hi + carry
+    return c0, c1
+
+
+def color_draws(seed: int, nrows: int, ncols: int, *, step, tag: int,
+                row0=0, col0=0, row_stride: int | None = None):
+    """Per-site uint32 draws for one color's compact (nrows, ncols) tile.
+
+    `step` may be a traced uint32 scalar (loop carry). `tag` is static.
+    `ncols` and `col0` must be multiples of 4 (quad granularity); `row_stride`
+    is the *global* compact row width (defaults to ncols).
+    """
+    if ncols % 4 != 0:
+        raise ValueError(f"compact width must be a multiple of 4, got {ncols}")
+    nquads = ncols // 4
+    stride = (row_stride if row_stride is not None else ncols) // 4
+    if isinstance(col0, int) and col0 % 4 != 0:
+        raise ValueError(f"col0 must be a multiple of 4, got {col0}")
+    quad0 = col0 // 4 if isinstance(col0, int) else col0 // 4
+    c0, c1 = quad_counters(nrows, nquads, row0=row0, quad0=quad0, row_stride=stride)
+    k0, k1 = key_from_seed(seed)
+    o0, o1, o2, o3 = philox4x32(c0, c1, _u32(step), _u32(tag), k0, k1)
+    out = jnp.stack([o0, o1, o2, o3], axis=-1)
+    return out.reshape(nrows, ncols)
+
+
+def hw_draws(seed: int, nrows: int, ncols: int, *, step, tag: int):
+    """Fast, non-portable draw path using JAX's built-in PRNG.
+
+    Used by rng mode "hw" where cross-backend/cross-sharding bit-exactness is
+    not required (e.g. pure throughput benchmarking of the XLA backend). The
+    Pallas backends use the on-chip PRNG (pltpu.prng_random_bits) in this mode.
+    """
+    key = jax.random.key(seed ^ (tag * 0x9E3779B97F4A7C15))
+    key = jax.random.fold_in(key, step)
+    return jax.random.bits(key, (nrows, ncols), dtype=jnp.uint32)

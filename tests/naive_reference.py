@@ -1,0 +1,108 @@
+"""Independent scalar reference implementation used only by tests.
+
+Deliberately written with plain Python ints and loops (no JAX, no shared
+helpers with the library) so it is an honest cross-check of both the Philox
+implementation and the checkerboard sweep semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+M0 = 0xD2511F53
+M1 = 0xCD9E8D57
+W0 = 0x9E3779B9
+W1 = 0xBB67AE85
+MASK = 0xFFFFFFFF
+
+
+def philox4x32_ref(ctr, key, rounds=10):
+    """Scalar Philox4x32 on Python ints; ctr is a 4-tuple, key a 2-tuple."""
+    c0, c1, c2, c3 = [c & MASK for c in ctr]
+    k0, k1 = key[0] & MASK, key[1] & MASK
+    for r in range(rounds):
+        p0 = (M0 * c0) & 0xFFFFFFFFFFFFFFFF
+        p1 = (M1 * c2) & 0xFFFFFFFFFFFFFFFF
+        hi0, lo0 = p0 >> 32, p0 & MASK
+        hi1, lo1 = p1 >> 32, p1 & MASK
+        c0, c1, c2, c3 = (hi1 ^ c1 ^ k0), lo1, (hi0 ^ c3 ^ k1), lo0
+        if r != rounds - 1:
+            k0 = (k0 + W0) & MASK
+            k1 = (k1 + W1) & MASK
+    return c0, c1, c2, c3
+
+
+def site_draw(seed, row, col, ch, step, tag):
+    """Draw for compact site (row, col) of a plane with compact width ch."""
+    q = row * (ch // 4) + col // 4
+    slot = col % 4
+    ctr = (q & MASK, (q >> 32) & MASK, step & MASK, tag & MASK)
+    key = (seed & MASK, (seed >> 32) & MASK)
+    return philox4x32_ref(ctr, key)[slot]
+
+
+def full_compact_col(y, x):
+    """Compact column index of full-lattice site (y, x)."""
+    return x // 2
+
+
+def site_color(y, x):
+    """0 = black, 1 = white under the storage convention (lattice.py)."""
+    # even row: black at even x; odd row: black at odd x.
+    return 0 if (x % 2) == (y % 2) else 1
+
+
+def naive_color_sweep(full_bits, color, thr10, seed, step, *,
+                      v=None, h=None, xsl=None, ysl=None):
+    """Update all sites of `color` in the full {0,1} bit lattice, in place
+    semantics (returns a new array). Mirrors basic_cuda/main.cu:54-90 but on
+    the full lattice, with optional disorder links and sub-lattice wrap."""
+    Y, X = full_bits.shape
+    ch = X // 2
+    out = full_bits.copy()
+    ysl = ysl or Y
+    xsl = xsl or X
+    for y in range(Y):
+        for x in range(X):
+            if site_color(y, x) != color:
+                continue
+            # periodic neighbors (within sub-lattice tiles)
+            y0, x0 = (y // ysl) * ysl, (x // xsl) * xsl
+            yu = y0 + (y - y0 - 1) % ysl
+            yd = y0 + (y - y0 + 1) % ysl
+            xl = x0 + (x - x0 - 1) % xsl
+            xr = x0 + (x - x0 + 1) % xsl
+            bu = int(full_bits[yu, x])
+            bd = int(full_bits[yd, x])
+            bl = int(full_bits[y, xl])
+            br = int(full_bits[y, xr])
+            if v is not None:
+                bu ^= int(v[yu, x])   # link (yu,x)-(y,x)
+                bd ^= int(v[y, x])    # link (y,x)-(yd,x)
+                bl ^= int(h[y, xl])   # link (y,xl)-(y,x)
+                br ^= int(h[y, x])    # link (y,x)-(y,xr)
+            nsum = bu + bd + bl + br
+            b = int(full_bits[y, x])
+            r = site_draw(seed, y, full_compact_col(y, x), ch, step, tag=color)
+            if r <= int(thr10[b * 5 + nsum]):
+                out[y, x] = b ^ 1
+    return out
+
+
+def naive_step(full_bits, thr10, seed, step, **kw):
+    """One full MC step: black sweep then white sweep (sequential dependency)."""
+    full_bits = naive_color_sweep(full_bits, 0, thr10, seed, step, **kw)
+    full_bits = naive_color_sweep(full_bits, 1, thr10, seed, step, **kw)
+    return full_bits
+
+
+def naive_init(seed, Y, X):
+    """Initial bits: top bit of the INIT-stream draw per compact site."""
+    full = np.zeros((Y, X), dtype=np.uint8)
+    ch = X // 2
+    for y in range(Y):
+        for x in range(X):
+            color = site_color(y, x)
+            r = site_draw(seed, y, x // 2, ch, 0, tag=0x100 | color)
+            full[y, x] = r >> 31
+    return full

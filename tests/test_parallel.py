@@ -1,0 +1,80 @@
+"""Multi-chip equivalence on the virtual 8-device CPU mesh.
+
+The key invariant (SURVEY.md §4): with the counter-based RNG, the trajectory
+is bit-identical for any device count — the N-vs-1 device equivalence the
+reference only offers via --use-common-seed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ising_tpu import SimConfig, get_backend, lattice, observables
+from ising_tpu.models import ising
+from ising_tpu.parallel import make_mesh, make_sharded_stepper
+
+
+def run(cfg, nsteps):
+    be = get_backend(cfg)
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    b, w = lattice.init_bits(cfg.seed, cfg.nrows, cfg.ncols)
+    b, w = be.encode(b, w)
+    shardings, step_n = make_sharded_stepper(cfg, be)
+    if shardings["plane"] is not None:
+        b = jax.device_put(b, shardings["plane"])
+        w = jax.device_put(w, shardings["plane"])
+    b, w = step_n(b, w, thr, jnp.uint32(0), nsteps)
+    return be.decode(b, w)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_matches_single(ndev):
+    base = dict(nrows=32, ncols=32, temp=2.0, seed=12345, backend="xla")
+    b1, w1 = run(SimConfig(ndev=1, **base), 4)
+    bn, wn = run(SimConfig(ndev=ndev, **base), 4)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(bn))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(wn))
+
+
+def test_sharded_matches_naive():
+    from naive_reference import naive_init, naive_step
+    cfg = SimConfig(nrows=8, ncols=16, temp=1.7, seed=42, backend="xla", ndev=4)
+    thr = ising.threshold_table(cfg.temperature)
+    full = naive_init(cfg.seed, 8, 16)
+    for step in range(3):
+        full = naive_step(full, thr, cfg.seed, step)
+    b, w = run(cfg, 3)
+    np.testing.assert_array_equal(
+        np.asarray(lattice.compact_to_full(b, w)), full)
+
+
+def test_sharded_observables():
+    """An ordered state at low T stays ordered under the sharded stepper."""
+    cfg = SimConfig(nrows=64, ncols=64, temp=1.0, seed=7, backend="xla", ndev=8)
+    be = get_backend(cfg)
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    ch = cfg.ncols // 2
+    b = jnp.ones((cfg.nrows, ch), jnp.uint8)
+    w = jnp.ones((cfg.nrows, ch), jnp.uint8)
+    shardings, step_n = make_sharded_stepper(cfg, be)
+    b = jax.device_put(b, shardings["plane"])
+    w = jax.device_put(w, shardings["plane"])
+    b, w = step_n(b, w, thr, jnp.uint32(0), 60)
+    m = observables.magnetization(*get_backend(cfg).decode(b, w))
+    # Onsager magnetization at T=1.0 is ~0.999; allow finite-size noise.
+    assert m > 0.99
+
+
+def test_sharded_sublattice():
+    base = dict(nrows=32, ncols=32, temp=1.5, seed=3, backend="xla",
+                xsl=16, ysl=8)
+    b1, w1 = run(SimConfig(ndev=1, **base), 3)
+    bn, wn = run(SimConfig(ndev=4, **base), 3)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(bn))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(wn))
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
