@@ -1,0 +1,136 @@
+"""Command-line interface: one CLI for all backends.
+
+Unifies the reference's four per-binary flag sets (optimized/main.cu:
+1288-1393 [17 options], basic_cuda/main.cu:190-238, tensorcore/main.cu:
+402-451, basic_python/ising_basic.py:42-64) behind one argparse program:
+
+    python -m ising_tpu -y 2048 -x 2048 -n 128 -a 0.66 -p 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import SimConfig
+from .constants import ALPHA_DEF, SEED_DEF, TCRIT
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ising-tpu",
+        description="TPU-native 2D Ising Monte Carlo (checkerboard Metropolis)")
+    p.add_argument("-x", "--cols", type=int, default=2048,
+                   help="lattice columns (X)")
+    p.add_argument("-y", "--rows", type=int, default=2048,
+                   help="lattice rows (Y)")
+    p.add_argument("-n", "--nit", type=int, default=128,
+                   help="number of trial iterations")
+    p.add_argument("-w", "--nwarmup", type=int, default=0,
+                   help="number of warmup iterations")
+    p.add_argument("-s", "--seed", type=int, default=SEED_DEF,
+                   help="random seed")
+    p.add_argument("-a", "--alpha", type=float, default=None,
+                   help=f"temperature = alpha * T_crit ({TCRIT:.6f}); "
+                        f"default alpha {ALPHA_DEF}")
+    p.add_argument("-t", "--temp", type=float, default=None,
+                   help="absolute temperature (overrides --alpha)")
+    p.add_argument("-p", "--print", dest="print_freq", type=int, default=0,
+                   help="print magnetization every PRINT steps")
+    p.add_argument("-e", "--exppr", action="store_true",
+                   help="print on the exponential 2^(j/4) schedule")
+    p.add_argument("-m", "--magn", dest="tgt_magn", type=float, default=None,
+                   help="stop when |magnetization - MAGN| < 1e-3")
+    p.add_argument("-u", "--update", metavar="STEP,FREQ", default=None,
+                   help="temperature ramp: add STEP every FREQ steps")
+    p.add_argument("-J", "--j-prob", type=float, default=None,
+                   help="probability of antiferromagnetic links "
+                        "(quenched +-J disorder)")
+    p.add_argument("--xsl", type=int, default=None,
+                   help="X size of independent sub-lattice replicas")
+    p.add_argument("--ysl", type=int, default=None,
+                   help="Y size of independent sub-lattice replicas")
+    p.add_argument("-d", "--devs", type=int, default=1,
+                   help="number of devices (row-slab sharding)")
+    p.add_argument("-o", "--out", action="store_true",
+                   help="dump lattice at each measurement and at the end")
+    p.add_argument("-c", "--corr", action="store_true",
+                   help="append 2-point correlation rows to a corr_* file")
+    p.add_argument("--backend", default="xla",
+                   choices=("xla", "dense", "packed", "mxu"),
+                   help="update kernel backend")
+    p.add_argument("--rng", default="philox", choices=("philox", "hw"),
+                   help="philox = bit-reproducible everywhere; "
+                        "hw = fastest native generator")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="write a checkpoint at the end of the run")
+    p.add_argument("--resume", default=None, metavar="PATH",
+                   help="resume from a checkpoint (geometry flags ignored)")
+    return p
+
+
+def config_from_args(args) -> SimConfig:
+    temp_step, temp_freq = 0.0, 0
+    if args.update:
+        parts = args.update.split(",")
+        if len(parts) != 2:
+            raise SystemExit("-u expects STEP,FREQ (e.g. -u 0.01,100)")
+        temp_step, temp_freq = float(parts[0]), int(parts[1])
+    return SimConfig(
+        nrows=args.rows, ncols=args.cols, temp=args.temp, alpha=args.alpha,
+        seed=args.seed, backend=args.backend, rng=args.rng,
+        nwarmup=args.nwarmup, niters=args.nit,
+        print_freq=args.print_freq, print_exp=args.exppr,
+        tgt_magn=args.tgt_magn, temp_step=temp_step, temp_freq=temp_freq,
+        j_prob=args.j_prob, xsl=args.xsl, ysl=args.ysl, ndev=args.devs,
+        dump_lattice=args.out, corr_out=args.corr)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .driver import Simulation
+
+    if args.resume:
+        try:
+            sim = Simulation.from_checkpoint(args.resume)
+        except (OSError, ValueError) as e:
+            print(f"ERROR: cannot resume from {args.resume}: {e}",
+                  file=sys.stderr)
+            return 1
+        cfg = sim.cfg
+    else:
+        try:
+            cfg = config_from_args(args)
+        except ValueError as e:
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
+        sim = Simulation(cfg)
+
+    print("ising-tpu run:")
+    print(f"\tlattice: {cfg.nrows} x {cfg.ncols} "
+          f"({cfg.nspins / 1e6:.1f} M spins)")
+    print(f"\ttemperature: {sim.temp:f} ({sim.temp / TCRIT:f} * T_crit)")
+    print(f"\tseed: {cfg.seed}")
+    print(f"\tbackend: {cfg.backend} (rng: {cfg.rng})")
+    print(f"\tdevices: {cfg.ndev}")
+    if cfg.xsl:
+        print(f"\tsub-lattices: {cfg.xsl} x {cfg.ysl}")
+    if cfg.j_prob is not None:
+        print(f"\tdisorder: P(antiferro link) = {cfg.j_prob}")
+    print(f"\titerations: {cfg.niters} (+{cfg.nwarmup} warmup)")
+
+    result = sim.run()
+
+    if cfg.dump_lattice:
+        from . import io as lio
+        name = f"final_{cfg.nrows}x{cfg.ncols}.txt"
+        lio.dump_lattice(name, *sim.bits(), fmt="hex")
+        print(f"Wrote final lattice to {name}")
+    if args.checkpoint:
+        sim.checkpoint(args.checkpoint)
+        print(f"Wrote checkpoint to {args.checkpoint}")
+    return 0 if result["steps"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

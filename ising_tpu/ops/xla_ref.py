@@ -100,6 +100,7 @@ class XlaBackend:
     """Backend adapter: plain uint8 bit-plane storage, pure-XLA sweep."""
 
     name = "xla"
+    bytes_per_spin = 1.0  # uint8 bit planes
 
     def __init__(self, cfg):
         self.cfg = cfg

@@ -1,0 +1,119 @@
+"""End-to-end driver: run loop, schedules, early exit, ramp, checkpoint."""
+
+import numpy as np
+import pytest
+
+from ising_tpu import SimConfig
+from ising_tpu.driver import Simulation, exponential_print_steps
+
+
+def test_exponential_schedule():
+    s = exponential_print_steps(16)
+    assert s[0] == 1 and s[-1] == 16
+    assert s == sorted(set(s))
+    assert 11 in s  # rint(2^(14/4)) = 11
+
+
+def test_run_basic(capsys):
+    cfg = SimConfig(nrows=32, ncols=32, temp=1.5, seed=1, niters=8,
+                    print_freq=4)
+    sim = Simulation(cfg)
+    res = sim.run(log=print)
+    assert res["steps"] == 8
+    out = capsys.readouterr().out
+    assert "magnetization" in out
+    assert "flips/ns" in out
+
+
+def test_run_warmup_continues_counters():
+    """warmup + n steps must equal a plain (warmup+n)-step run."""
+    base = dict(nrows=16, ncols=16, temp=2.0, seed=9)
+    s1 = Simulation(SimConfig(niters=6, **base))
+    s1.run(log=lambda *a: None)
+    s2 = Simulation(SimConfig(niters=4, nwarmup=2, **base))
+    s2.run(log=lambda *a: None)
+    b1, w1 = s1.bits()
+    b2, w2 = s2.bits()
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_early_exit():
+    # At T=6 an all-up lattice melts to m ~ 0 quickly; target 0 triggers exit.
+    cfg = SimConfig(nrows=64, ncols=64, temp=6.0, seed=2, niters=500,
+                    print_freq=10, tgt_magn=0.0)
+    sim = Simulation(cfg)
+    res = sim.run(log=lambda *a: None)
+    assert res["stopped_early"]
+    assert res["steps"] < 500
+    assert res["magnetization"] < 1e-3
+
+
+def test_temperature_ramp():
+    cfg = SimConfig(nrows=16, ncols=16, temp=1.5, seed=3, niters=10,
+                    temp_step=0.5, temp_freq=4)
+    sim = Simulation(cfg)
+    res = sim.run(log=lambda *a: None)
+    assert res["temp_final"] == pytest.approx(2.5)
+
+
+def test_temperature_ramp_clamps_at_min():
+    from ising_tpu.constants import MIN_TEMP
+    cfg = SimConfig(nrows=16, ncols=16, temp=0.5, seed=3, niters=4,
+                    temp_step=-1.0, temp_freq=2)
+    sim = Simulation(cfg)
+    sim.run(log=lambda *a: None)
+    assert sim.temp == pytest.approx(MIN_TEMP)
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    base = dict(nrows=16, ncols=32, temp=1.8, seed=11)
+    # straight 10-step run
+    s1 = Simulation(SimConfig(niters=10, **base))
+    s1.advance(10)
+    # 5 steps, checkpoint, resume, 5 more
+    s2 = Simulation(SimConfig(niters=10, **base))
+    s2.advance(5)
+    path = str(tmp_path / "ck.npz")
+    s2.checkpoint(path)
+    s3 = Simulation.from_checkpoint(path)
+    assert s3.step == 5
+    s3.advance(5)
+    b1, w1 = s1.bits()
+    b3, w3 = s3.bits()
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b3))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w3))
+
+
+def test_checkpoint_preserves_ramped_temp(tmp_path):
+    cfg = SimConfig(nrows=16, ncols=16, temp=1.5, seed=3, niters=4,
+                    temp_step=0.25, temp_freq=2)
+    sim = Simulation(cfg)
+    sim.run(log=lambda *a: None)
+    path = str(tmp_path / "ck.npz")
+    sim.checkpoint(path)
+    sim2 = Simulation.from_checkpoint(path)
+    assert sim2.temp == pytest.approx(sim.temp)
+
+
+def test_run_sharded_matches_single():
+    base = dict(nrows=32, ncols=32, temp=1.9, seed=17, niters=5)
+    s1 = Simulation(SimConfig(ndev=1, **base))
+    s1.run(log=lambda *a: None)
+    s8 = Simulation(SimConfig(ndev=8, **base))
+    s8.run(log=lambda *a: None)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s8.bits()[0]))
+
+
+def test_run_with_disorder_and_corr(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = SimConfig(nrows=16, ncols=16, temp=1.5, seed=5, niters=4,
+                    print_freq=2, j_prob=0.3, corr_out=True)
+    sim = Simulation(cfg)
+    res = sim.run(log=lambda *a: None)
+    assert res["steps"] == 4
+    corrs = list(tmp_path.glob("corr_*"))
+    assert len(corrs) == 1
+    lines = corrs[0].read_text().strip().splitlines()
+    assert len(lines) == 2  # measurements at steps 2 and 4

@@ -1,0 +1,92 @@
+"""Dump/load round trips and CLI surface."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ising_tpu import SimConfig, io as lio, lattice
+
+
+@pytest.fixture
+def planes():
+    rs = np.random.RandomState(0)
+    full = rs.randint(0, 2, size=(8, 16)).astype(np.uint8)
+    return lattice.full_to_compact(jnp.asarray(full)), full
+
+
+def test_hex_round_trip(tmp_path, planes):
+    (b, w), full = planes
+    p = str(tmp_path / "lat.txt")
+    lio.dump_lattice(p, b, w, fmt="hex")
+    b2, w2 = lio.load_lattice(p, fmt="hex")
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
+    # file format: Y lines of X chars, each '0' or '1'
+    lines = open(p).read().splitlines()
+    assert len(lines) == 8 and all(len(l) == 16 for l in lines)
+    assert set("".join(lines)) <= {"0", "1"}
+    # row 0 of the file is the full lattice row 0
+    np.testing.assert_array_equal(
+        np.frombuffer(lines[0].encode(), np.uint8) - ord("0"), full[0])
+
+
+def test_txt_round_trip(tmp_path, planes):
+    (b, w), full = planes
+    p = str(tmp_path / "lat.txt")
+    lio.dump_lattice(p, b, w, fmt="txt")
+    b2, w2 = lio.load_lattice(p, fmt="txt")
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(b2))
+    # reference basic format: -1/1 integers
+    vals = set(open(p).read().split())
+    assert vals <= {"-1", "1"}
+
+
+def test_lattice_image(planes):
+    (b, w), full = planes
+    img = lio.lattice_image(b, w)
+    np.testing.assert_array_equal(img, 2 * full.astype(np.int8) - 1)
+
+
+def test_plotting(tmp_path, planes):
+    (b, w), _ = planes
+    from ising_tpu.utils.plotting import plot_lattice
+    out = plot_lattice((b, w), str(tmp_path / "img.png"))
+    assert (tmp_path / "img.png").exists()
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    from ising_tpu.cli import main
+    rc = main(["-x", "32", "-y", "32", "-n", "4", "-t", "1.5", "-p", "2",
+               "-o", "--checkpoint", "ck.npz"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "flips/ns" in out
+    assert (tmp_path / "ck.npz").exists()
+    dumps = list(tmp_path.glob("final_*.txt"))
+    assert dumps
+
+
+def test_cli_resume(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    from ising_tpu.cli import main
+    assert main(["-x", "16", "-y", "16", "-n", "3", "-t", "2.0",
+                 "--checkpoint", "ck.npz"]) == 0
+    assert main(["--resume", "ck.npz", "-n", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "flips/ns" in out
+
+
+def test_cli_bad_geometry(capsys):
+    from ising_tpu.cli import main
+    rc = main(["-x", "30", "-y", "32", "-n", "1"])
+    assert rc == 1
+    assert "ERROR" in capsys.readouterr().err
+
+
+def test_cli_temp_ramp_parse():
+    from ising_tpu.cli import build_parser, config_from_args
+    cfg = config_from_args(build_parser().parse_args(
+        ["-u", "0.1,5", "-x", "16", "-y", "16"]))
+    assert cfg.temp_step == pytest.approx(0.1)
+    assert cfg.temp_freq == 5
