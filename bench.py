@@ -1,0 +1,103 @@
+"""Benchmark harness: prints ONE JSON line with flips/ns vs the baseline.
+
+Baseline (BASELINE.md): the reference's optimized CUDA kernel sustains
+~520 spin flips/ns per A100 chip. This harness times the flagship backend's
+steady-state update loop on whatever device JAX provides (the real TPU chip
+under the driver; CPU locally) and reports
+
+    {"metric": "spin_flips_per_ns", "value": ..., "unit": "flips/ns",
+     "vs_baseline": value / 520.7}
+
+Protocol mirrors the reference's timing (optimized/main.cu:1758-1890): no
+measurement traffic inside the timed region, fixed step count, flips =
+nrows * ncols * steps.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_FLIPS_NS = 520.7  # A100 per-chip, optimized/README.md:251
+
+
+def pick_config(backend: str, platform: str):
+    """Lattice sized for the platform: big enough to saturate, small enough
+    to stay fast on CPU CI runs."""
+    if platform == "cpu":
+        return dict(nrows=1024, ncols=1024, steps=8, warm=2)
+    if backend in ("packed",):
+        return dict(nrows=16384, ncols=16384, steps=64, warm=8)
+    if backend in ("dense", "mxu"):
+        return dict(nrows=8192, ncols=8192, steps=32, warm=4)
+    return dict(nrows=4096, ncols=4096, steps=16, warm=2)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default=None,
+                    help="override flagship backend")
+    ap.add_argument("--rng", default="hw", choices=("philox", "hw"))
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--cols", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ising_tpu import SimConfig, get_backend
+    from ising_tpu.constants import BLACK, WHITE
+    from ising_tpu.lattice import init_bits
+    from ising_tpu.models import ising
+    from ising_tpu.parallel import make_sharded_stepper
+
+    platform = jax.devices()[0].platform
+    if args.backend is None:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", __file__.replace("bench.py", "__graft_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        backend = mod.FLAGSHIP_BACKEND
+    else:
+        backend = args.backend
+
+    p = pick_config(backend, platform)
+    nrows = args.rows or p["nrows"]
+    ncols = args.cols or p["cols" if "cols" in p else "ncols"]
+    steps = args.steps or p["steps"]
+    warm = p["warm"]
+
+    cfg = SimConfig(nrows=nrows, ncols=ncols, temp=1.5, backend=backend,
+                    rng=args.rng)
+    be = get_backend(cfg)
+    b, w = init_bits(cfg.seed, cfg.nrows, cfg.ncols)
+    b, w = be.encode(b, w)
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    _, step_n = make_sharded_stepper(cfg, be)
+
+    # warmup: compile + settle
+    b, w = step_n(b, w, thr, jnp.uint32(0), warm)
+    jax.block_until_ready((b, w))
+
+    t0 = time.perf_counter()
+    b, w = step_n(b, w, thr, jnp.uint32(warm), steps)
+    jax.block_until_ready((b, w))
+    elapsed = time.perf_counter() - t0
+
+    flips = cfg.nspins * steps
+    flips_ns = flips / (elapsed * 1e9)
+    print(json.dumps({
+        "metric": "spin_flips_per_ns",
+        "value": round(flips_ns, 3),
+        "unit": "flips/ns",
+        "vs_baseline": round(flips_ns / BASELINE_FLIPS_NS, 4),
+        "detail": {"backend": backend, "rng": args.rng, "platform": platform,
+                   "lattice": f"{nrows}x{ncols}", "steps": steps,
+                   "elapsed_s": round(elapsed, 4)},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

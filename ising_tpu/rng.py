@@ -20,14 +20,19 @@ kernels (which have no 64-bit integer support).
 
 Counter layout
 --------------
-One Philox call produces four 32-bit draws, used for four consecutive sites
-along the compact-x axis ("quad"). For a compact color array of logical shape
-(rows, cols) [cols = X/2 sites of one color per row]:
+One Philox call produces four 32-bit draws, used for four sites of the same
+row, one in each quarter of the row ("quad"). For a compact color array of
+logical shape (rows, cols) [cols = X/2 sites of one color per row], with
+g = cols // 4:
 
-  quad index  q  = row * (cols_global // 4) + col // 4   (64-bit, split lo/hi)
+  quad index  q  = row * g + (col mod g)   (64-bit, split lo/hi)
   counter        = (q_lo, q_hi, step, tag)
   key            = (seed_lo, seed_hi)
-  draw for site (row, col) = philox_output[col % 4]
+  draw for site (row, col) = philox_output[col div g]
+
+(The slot maps to column *groups*, not interleaved columns, so assembling
+the (rows, cols) draw plane is a lane-dimension concatenation — an operation
+TPU Mosaic supports natively, unlike a 4-way lane interleave.)
 
 `tag` encodes the stream: bit 0 = color, bits 8.. = stream id (sweep / init /
 disorder-init), so streams never collide.
@@ -121,25 +126,22 @@ def quad_counters(nrows: int, nquads: int, *, row0=0, quad0=0, row_stride: int |
 
 
 def color_draws(seed: int, nrows: int, ncols: int, *, step, tag: int,
-                row0=0, col0=0, row_stride: int | None = None):
+                row0=0, row_stride: int | None = None):
     """Per-site uint32 draws for one color's compact (nrows, ncols) tile.
 
     `step` may be a traced uint32 scalar (loop carry). `tag` is static.
-    `ncols` and `col0` must be multiples of 4 (quad granularity); `row_stride`
-    is the *global* compact row width (defaults to ncols).
+    `ncols` must be a multiple of 4 (quad granularity); `row_stride` is the
+    *global* compact row width (defaults to ncols). Rows may be offset
+    (sharding) but each call must cover full rows.
     """
     if ncols % 4 != 0:
         raise ValueError(f"compact width must be a multiple of 4, got {ncols}")
     nquads = ncols // 4
     stride = (row_stride if row_stride is not None else ncols) // 4
-    if isinstance(col0, int) and col0 % 4 != 0:
-        raise ValueError(f"col0 must be a multiple of 4, got {col0}")
-    quad0 = col0 // 4 if isinstance(col0, int) else col0 // 4
-    c0, c1 = quad_counters(nrows, nquads, row0=row0, quad0=quad0, row_stride=stride)
+    c0, c1 = quad_counters(nrows, nquads, row0=row0, row_stride=stride)
     k0, k1 = key_from_seed(seed)
-    o0, o1, o2, o3 = philox4x32(c0, c1, _u32(step), _u32(tag), k0, k1)
-    out = jnp.stack([o0, o1, o2, o3], axis=-1)
-    return out.reshape(nrows, ncols)
+    o = philox4x32(c0, c1, _u32(step), _u32(tag), k0, k1)
+    return jnp.concatenate(o, axis=-1)
 
 
 def hw_draws(seed: int, nrows: int, ncols: int, *, step, tag: int):
@@ -149,6 +151,6 @@ def hw_draws(seed: int, nrows: int, ncols: int, *, step, tag: int):
     not required (e.g. pure throughput benchmarking of the XLA backend). The
     Pallas backends use the on-chip PRNG (pltpu.prng_random_bits) in this mode.
     """
-    key = jax.random.key(seed ^ (tag * 0x9E3779B97F4A7C15))
+    key = jax.random.key((seed ^ (tag * 0x9E3779B9)) & 0x7FFFFFFF)
     key = jax.random.fold_in(key, step)
     return jax.random.bits(key, (nrows, ncols), dtype=jnp.uint32)

@@ -34,8 +34,9 @@ def philox4x32_ref(ctr, key, rounds=10):
 
 def site_draw(seed, row, col, ch, step, tag):
     """Draw for compact site (row, col) of a plane with compact width ch."""
-    q = row * (ch // 4) + col // 4
-    slot = col % 4
+    g = ch // 4
+    q = row * g + (col % g)
+    slot = col // g
     ctr = (q & MASK, (q >> 32) & MASK, step & MASK, tag & MASK)
     key = (seed & MASK, (seed >> 32) & MASK)
     return philox4x32_ref(ctr, key)[slot]

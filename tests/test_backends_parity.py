@@ -1,0 +1,78 @@
+"""Cross-backend exact-trajectory parity (the SURVEY.md §4 requirement):
+same seed => identical spin trajectories on every backend, in philox mode.
+Pallas kernels run in interpreter mode on CPU."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ising_tpu import SimConfig, get_backend, lattice
+from ising_tpu.constants import BLACK, WHITE
+from ising_tpu.models import ising
+
+
+def trajectory(cfg, nsteps, jplanes_pair=None):
+    be = get_backend(cfg)
+    b, w = lattice.init_bits(cfg.seed, cfg.nrows, cfg.ncols)
+    b, w = be.encode(b, w)
+    jb = jw = None
+    if jplanes_pair is not None:
+        enc = getattr(be, "encode_jplanes", lambda p: p)
+        jb, jw = tuple(enc(jplanes_pair[0])), tuple(enc(jplanes_pair[1]))
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    outs = []
+    for step in range(nsteps):
+        b = be.update_color(b, w, color=BLACK, thr10=thr,
+                            step=jnp.uint32(step),
+                            src_up=w[-1:], src_dn=w[:1], jplanes=jb)
+        w = be.update_color(w, b, color=WHITE, thr10=thr,
+                            step=jnp.uint32(step),
+                            src_up=b[-1:], src_dn=b[:1], jplanes=jw)
+        db, dw = be.decode(b, w)
+        outs.append((np.asarray(db), np.asarray(dw)))
+    return outs
+
+
+def assert_same_trajectory(cfg_a, cfg_b, nsteps=3, jp=None):
+    ta = trajectory(cfg_a, nsteps, jp)
+    tb = trajectory(cfg_b, nsteps, jp)
+    for s, ((ba, wa), (bb, wb)) in enumerate(zip(ta, tb)):
+        np.testing.assert_array_equal(ba, bb, err_msg=f"black step {s}")
+        np.testing.assert_array_equal(wa, wb, err_msg=f"white step {s}")
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (16, 32), (64, 128)])
+def test_dense_matches_xla(shape):
+    Y, X = shape
+    base = dict(nrows=Y, ncols=X, temp=1.8, seed=4242)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="dense", **base))
+
+
+def test_dense_matches_xla_multiblock():
+    # Force multiple row blocks (BY < H) in the dense kernel.
+    import ising_tpu.ops.pallas_dense as pd
+    orig = pd._pick_block_rows
+    pd._pick_block_rows = lambda nrows, target=256: 8
+    try:
+        base = dict(nrows=16, ncols=32, temp=2.2, seed=7)
+        assert_same_trajectory(SimConfig(backend="xla", **base),
+                               SimConfig(backend="dense", **base))
+    finally:
+        pd._pick_block_rows = orig
+
+
+def test_dense_matches_xla_with_disorder():
+    base = dict(nrows=16, ncols=32, temp=1.4, seed=11, j_prob=0.3)
+    cfg = SimConfig(backend="xla", **base)
+    v, h = ising.generate_disorder_links(cfg.seed, cfg.nrows, cfg.ncols,
+                                         cfg.j_prob)
+    jp = (lattice.links_to_color_planes(v, h, BLACK),
+          lattice.links_to_color_planes(v, h, WHITE))
+    assert_same_trajectory(cfg, SimConfig(backend="dense", **base), jp=jp)
+
+
+def test_dense_rejects_sublattice():
+    with pytest.raises(NotImplementedError):
+        get_backend(SimConfig(nrows=16, ncols=16, backend="dense",
+                              xsl=8, ysl=8))
