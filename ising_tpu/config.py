@@ -84,12 +84,12 @@ class SimConfig:
         if self.rng not in ("philox", "hw"):
             raise ValueError(f"unknown rng mode {self.rng!r}")
         if self.backend == "packed":
-            # Compact row must fill whole words and a 128-lane register:
-            # X/2 spins / 8 per word must be a multiple of 128 lanes.
-            lane_mult = 2 * SPINS_PER_WORD * 128
-            if self.ncols % lane_mult:
-                raise ValueError(
-                    f"packed backend needs ncols multiple of {lane_mult}")
+            # Compact row must fill whole 8-spin words. (For peak TPU
+            # throughput use ncols % 2048 == 0 so packed rows fill 128-lane
+            # registers, mirroring the reference's X % 2048 constraint,
+            # optimized/main.cu:1412-1421 — smaller sizes still run.)
+            if self.ncols % (2 * SPINS_PER_WORD):
+                raise ValueError("packed backend needs ncols multiple of 16")
         if self.backend == "mxu" and self.ncols % 256:
             raise ValueError("mxu backend needs ncols multiple of 256")
         if self.nrows % self.ndev:

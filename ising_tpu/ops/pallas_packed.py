@@ -1,0 +1,257 @@
+"""Pallas TPU kernel, packed tier (backend "packed") — the flagship.
+
+TPU-native rebuild of the reference's optimized kernel
+(spinUpdateV_2D_k, optimized/main.cu:463-670): 4 bits per spin packed into
+words so the 4-neighbor sums of 8 spins happen as THREE whole-word adds
+(each 4-bit field accumulates 0..4 without carry overflow — the reference's
+trick at optimized/main.cu:623-635, on uint32 lanes instead of ulonglong2).
+
+Packing layout (deliberately different from the reference's linear 16-per-
+word layout, chosen for the TPU lane model): field z (bits 4z..4z+3) of
+word j holds the spin at compact column z*W + j, where W = C/8. Columns of
+one field group are contiguous lanes, so:
+
+  * the off-column neighbor shift is a lane roll by 1 plus a single-lane
+    fix-up at the group boundary (one select) — no cross-lane funnel shift
+    per word (the TPU replacement for optimized/main.cu:541-573);
+  * the per-field random-draw planes r_z are contiguous lane slices of the
+    (BY, C) draw block — no lane interleaving anywhere.
+
+Acceptance uses the mirrored neighbor count e = b ? n : 4-n, reducing the
+reference's 2x5 exp table (optimized/main.cu:1683-1697) to three uint32
+thresholds (e==2 -> thr[7] [only sub-unity at T<=0], e==3 -> thr[8],
+e==4 -> thr[9]; e < 2 always accepts), computed word-wise with a masked
+select — decisions are bit-identical to the table-lookup backends.
+
+Quenched +-J disorder rides in one extra packed word per lattice word with
+the four direction flags in bits 0..3 of each field (the analog of
+optimized/main.cu:575-618), XORed into the neighbor words before the adds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import BLACK
+from ..rng import TAG_SWEEP, key_from_seed, mulhilo32, philox4x32
+from .pallas_dense import _pick_block_rows
+
+M1 = 0x11111111  # low bit of every 4-bit field
+
+
+def pack_bits(bits):
+    """(Y, C) uint8 bit plane -> (Y, W=C/8) uint32 packed words."""
+    Y, C = bits.shape
+    W = C // 8
+    g = bits.reshape(Y, 8, W).astype(jnp.uint32)
+    out = jnp.zeros((Y, W), jnp.uint32)
+    for z in range(8):
+        out = out | (g[:, z, :] << (4 * z))
+    return out
+
+
+def unpack_bits(packed):
+    """(Y, W) uint32 packed words -> (Y, 8W) uint8 bit plane."""
+    Y, W = packed.shape
+    planes = [((packed >> (4 * z)) & 1).astype(jnp.uint8) for z in range(8)]
+    return jnp.stack(planes, axis=1).reshape(Y, 8 * W)
+
+
+def pack_jplanes(jplanes):
+    """4 x (Y, C) uint8 direction-flag planes -> one (Y, W) uint32 word with
+    flags in bits 0..3 of each field (order: up, dn, same, off)."""
+    j_up, j_dn, j_same, j_off = jplanes
+    return (pack_bits(j_up) | (pack_bits(j_dn) << 1)
+            | (pack_bits(j_same) << 2) | (pack_bits(j_off) << 3))
+
+
+def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
+                       seed: int, tag: int):
+    """(rows, cols) uint32 draws, identical contract to rng.color_draws."""
+    i = pl.program_id(0)
+    row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
+    step = params_ref[1]
+    nq = cols // 4
+    y = jax.lax.broadcasted_iota(jnp.uint32, (rows, nq), 0) + row0
+    q = jax.lax.broadcasted_iota(jnp.uint32, (rows, nq), 1)
+    hi, lo = mulhilo32(y, jnp.uint32(nq))
+    c0 = lo + q
+    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    k0, k1 = key_from_seed(seed)
+    o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1)
+    return jnp.concatenate(o, axis=-1)
+
+
+def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
+    i = pl.program_id(0)
+    s0 = jnp.uint32(seed & 0xFFFFFFFF) ^ (params_ref[1] * jnp.uint32(0x9E3779B9))
+    s1 = (jnp.uint32(((seed >> 32) ^ tag) & 0xFFFFFFFF)
+          + (params_ref[0] + i.astype(jnp.uint32)) * jnp.uint32(0x85EBCA6B))
+    pltpu.prng_seed(s0, s1)
+    return pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
+
+
+def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
+                   *rest, color: int, row_block: int, seed: int,
+                   rng_mode: str, disorder: bool):
+    out_ref = rest[-1]
+    BY = row_block
+    W = dst_ref.shape[1]
+    i = pl.program_id(0)
+
+    me = dst_ref[...]
+    src = src_ref[...]
+    up_row = up_ref[pl.ds(i, 1), :]
+    dn_row = dn_ref[pl.ds(i, 1), :]
+    up = jnp.concatenate([up_row, src[:-1]], axis=0)
+    dn = jnp.concatenate([src[1:], dn_row], axis=0)
+
+    # Off-column neighbor words. Column of field z, lane j is z*W + j.
+    #   left  (col-1): lane j-1, same field; at j==0 wrap to lane W-1 with
+    #                  fields shifted one group down (<<4 | >>28).
+    #   right (col+1): lane j+1; at j==W-1 wrap to lane 0, fields one group
+    #                  up (>>4 | <<28).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BY, W), 1)
+    wrapL = (src[:, W - 1:W] << 4) | (src[:, W - 1:W] >> 28)
+    left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
+    wrapR = (src[:, 0:1] >> 4) | (src[:, 0:1] << 28)
+    right = jnp.where(lane == W - 1, wrapR, pltpu.roll(src, W - 1, 1))
+
+    # Row parity selects the off-column side (black even rows look left;
+    # basic_cuda/main.cu:73-79). Global parity == local parity (even blocks).
+    odd = (jax.lax.broadcasted_iota(jnp.int32, (BY, W), 0) % 2) == 1
+    same = src
+    if color == BLACK:
+        off = jnp.where(odd, right, left)
+    else:
+        off = jnp.where(odd, left, right)
+
+    if disorder:
+        jw = rest[0][...]
+        up = up ^ (jw & M1)
+        dn = dn ^ ((jw >> 1) & M1)
+        same = same ^ ((jw >> 2) & M1)
+        off = off ^ ((jw >> 3) & M1)
+
+    # Whole-word neighbor sum: every 4-bit field accumulates 0..4.
+    nsum = up + dn + same + off
+
+    # Mirrored count e = b ? n : 4 - n, word-wise: fields with b=1 keep n,
+    # fields with b=0 take 4-n (0x44444444 - nsum has no borrows, n <= 4).
+    m1 = me & M1
+    mask = (m1 << 4) - m1          # 0xF where b=1, 0x0 where b=0
+    e = (nsum & mask) | ((jnp.uint32(0x44444444) - nsum) & ~mask)
+
+    # Random draws: one uint32 per spin, laid out per the library contract;
+    # field z's plane is the contiguous lane slice [z*W, (z+1)*W).
+    tag = TAG_SWEEP | color
+    if rng_mode == "philox":
+        draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
+    else:
+        draws = _hw_draw_block(params_ref, BY, 8 * W, seed, tag)
+
+    t0 = thr_ref[7]   # e == 2 threshold (sub-unity only at T <= 0)
+    t4 = thr_ref[8]   # e == 3: exp(-4/T)
+    t8 = thr_ref[9]   # e == 4: exp(-8/T)
+
+    flip = jnp.zeros((BY, W), jnp.uint32)
+    for z in range(8):
+        ez = (e >> (4 * z)) & jnp.uint32(0xF)
+        r = draws[:, z * W:(z + 1) * W]
+        acc = ((ez < 2)
+               | ((ez == 2) & (r <= t0))
+               | ((ez == 3) & (r <= t4))
+               | ((ez == 4) & (r <= t8)))
+        flip = flip | (acc.astype(jnp.uint32) << (4 * z))
+
+    out_ref[...] = me ^ flip
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "color", "seed", "rng_mode", "interpret"))
+def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
+                 *, color: int, seed: int, rng_mode: str = "philox",
+                 interpret: bool = False):
+    """One color half-sweep over the packed (H, W) plane."""
+    H, W = dst.shape
+    BY = _pick_block_rows(H)
+    nblk = H // BY
+
+    if nblk > 1:
+        ups = jnp.concatenate([src_up, src[BY - 1::BY][:-1]], axis=0)
+        dns = jnp.concatenate([src[BY::BY], src_dn], axis=0)
+    else:
+        ups, dns = src_up, src_dn
+
+    params = jnp.stack([
+        row0 if hasattr(row0, "astype") else jnp.uint32(row0),
+        step if hasattr(step, "astype") else jnp.uint32(step),
+    ]).astype(jnp.uint32)
+
+    disorder = jword is not None
+    blk = lambda i: (i, 0)
+    whole = lambda i: (0, 0)
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # params
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # thr10
+        pl.BlockSpec((BY, W), blk, memory_space=pltpu.VMEM),      # dst
+        pl.BlockSpec((BY, W), blk, memory_space=pltpu.VMEM),      # src
+        pl.BlockSpec((nblk, W), whole, memory_space=pltpu.VMEM),  # up edges
+        pl.BlockSpec((nblk, W), whole, memory_space=pltpu.VMEM),  # dn edges
+    ]
+    args = [params, thr10, dst, src, ups, dns]
+    if disorder:
+        specs.append(pl.BlockSpec((BY, W), blk, memory_space=pltpu.VMEM))
+        args.append(jword)
+
+    kernel = functools.partial(
+        _packed_kernel, color=color, row_block=BY, seed=seed,
+        rng_mode=rng_mode, disorder=disorder)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((BY, W), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(*args)
+
+
+class PackedBackend:
+    """Backend adapter: 4-bit packed uint32 storage, word-parallel sweep."""
+
+    name = "packed"
+    bytes_per_spin = 0.5
+
+    def __init__(self, cfg):
+        if cfg.xsl is not None:
+            raise NotImplementedError(
+                "packed backend has no sub-lattice mode yet; use xla")
+        self.cfg = cfg
+        self.interpret = jax.default_backend() == "cpu"
+
+    def encode(self, black_bits, white_bits):
+        return pack_bits(black_bits), pack_bits(white_bits)
+
+    def decode(self, black_store, white_store):
+        return unpack_bits(black_store), unpack_bits(white_store)
+
+    def encode_jplanes(self, jplanes):
+        # One packed word replaces the four bit planes (tuple of len 1 so the
+        # driver/stepper can thread it like the dense backend's 4-tuple).
+        return (pack_jplanes(jplanes),)
+
+    def update_color(self, dst, src, *, color, thr10, step, row0=0,
+                     src_up=None, src_dn=None, jplanes=None):
+        jword = jplanes[0] if jplanes is not None else None
+        return packed_sweep(dst, src, src_up, src_dn, thr10,
+                            jnp.uint32(row0), step, jword,
+                            color=color, seed=self.cfg.seed,
+                            rng_mode=self.cfg.rng, interpret=self.interpret)

@@ -76,3 +76,67 @@ def test_dense_rejects_sublattice():
     with pytest.raises(NotImplementedError):
         get_backend(SimConfig(nrows=16, ncols=16, backend="dense",
                               xsl=8, ysl=8))
+
+
+def test_pack_round_trip():
+    import numpy as np
+    from ising_tpu.ops.pallas_packed import pack_bits, unpack_bits
+    rs = np.random.RandomState(2)
+    bits = jnp.asarray(rs.randint(0, 2, size=(6, 32)).astype("uint8"))
+    packed = pack_bits(bits)
+    assert packed.shape == (6, 4)
+    np.testing.assert_array_equal(np.asarray(unpack_bits(packed)),
+                                  np.asarray(bits))
+
+
+@pytest.mark.parametrize("shape", [(8, 32), (16, 64), (64, 256)])
+def test_packed_matches_xla(shape):
+    Y, X = shape
+    base = dict(nrows=Y, ncols=X, temp=1.8, seed=4242)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="packed", **base))
+
+
+def test_packed_matches_xla_multiblock():
+    import ising_tpu.ops.pallas_dense as pd
+    orig = pd._pick_block_rows
+    pd._pick_block_rows = lambda nrows, target=256: 8
+    try:
+        base = dict(nrows=32, ncols=64, temp=2.2, seed=7)
+        assert_same_trajectory(SimConfig(backend="xla", **base),
+                               SimConfig(backend="packed", **base))
+    finally:
+        pd._pick_block_rows = orig
+
+
+def test_packed_matches_xla_with_disorder():
+    base = dict(nrows=16, ncols=64, temp=1.4, seed=11, j_prob=0.3)
+    cfg = SimConfig(backend="xla", **base)
+    v, h = ising.generate_disorder_links(cfg.seed, cfg.nrows, cfg.ncols,
+                                         cfg.j_prob)
+    jp = (lattice.links_to_color_planes(v, h, BLACK),
+          lattice.links_to_color_planes(v, h, WHITE))
+    assert_same_trajectory(cfg, SimConfig(backend="packed", **base), jp=jp)
+
+
+def test_packed_zero_temperature():
+    # Greedy quench class (thr[7]=0.5 coin flip at dE==0) must match too.
+    base = dict(nrows=16, ncols=32, temp=0.0, seed=13)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="packed", **base), nsteps=5)
+
+
+@pytest.mark.parametrize("shape", [(128, 256), (256, 512)])
+def test_mxu_matches_xla(shape):
+    Y, X = shape
+    base = dict(nrows=Y, ncols=X, temp=1.8, seed=99)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="mxu", **base), nsteps=2)
+
+
+def test_mxu_rejects_unsupported():
+    with pytest.raises(NotImplementedError):
+        get_backend(SimConfig(nrows=128, ncols=256, backend="mxu",
+                              j_prob=0.5))
+    with pytest.raises(ValueError):
+        get_backend(SimConfig(nrows=64, ncols=256, backend="mxu"))
