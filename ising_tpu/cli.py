@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rng", default="philox", choices=("philox", "hw"),
                    help="philox = bit-reproducible everywhere; "
                         "hw = fastest native generator")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="write a checkpoint at the end of the run")
     p.add_argument("--resume", default=None, metavar="PATH",
@@ -119,7 +121,11 @@ def main(argv=None) -> int:
         print(f"\tdisorder: P(antiferro link) = {cfg.j_prob}")
     print(f"\titerations: {cfg.niters} (+{cfg.nwarmup} warmup)")
 
-    result = sim.run()
+    from .utils.profiling import trace
+    with trace(args.profile):
+        result = sim.run()
+    if args.profile:
+        print(f"Wrote profiler trace to {args.profile}")
 
     if cfg.dump_lattice:
         from . import io as lio

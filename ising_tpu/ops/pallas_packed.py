@@ -98,7 +98,7 @@ def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
 
 def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                    *rest, color: int, row_block: int, seed: int,
-                   rng_mode: str, disorder: bool):
+                   rng_mode: str, disorder: bool, csl: int | None = None):
     out_ref = rest[-1]
     BY = row_block
     W = dst_ref.shape[1]
@@ -116,11 +116,23 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     #                  fields shifted one group down (<<4 | >>28).
     #   right (col+1): lane j+1; at j==W-1 wrap to lane 0, fields one group
     #                  up (>>4 | <<28).
+    # Sub-lattice replica mode (csl = XSL/2 compact columns, csl | W): the
+    # wrap stays inside the field group, so both fixes become a second lane
+    # roll selected at the sub-lattice boundary lanes (the TPU analog of the
+    # reference's loadTile sub-lattice wrap, optimized/main.cu:413-458).
     lane = jax.lax.broadcasted_iota(jnp.int32, (BY, W), 1)
-    wrapL = (src[:, W - 1:W] << 4) | (src[:, W - 1:W] >> 28)
-    left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
-    wrapR = (src[:, 0:1] >> 4) | (src[:, 0:1] << 28)
-    right = jnp.where(lane == W - 1, wrapR, pltpu.roll(src, W - 1, 1))
+    if csl is None:
+        wrapL = (src[:, W - 1:W] << 4) | (src[:, W - 1:W] >> 28)
+        left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
+        wrapR = (src[:, 0:1] >> 4) | (src[:, 0:1] << 28)
+        right = jnp.where(lane == W - 1, wrapR, pltpu.roll(src, W - 1, 1))
+    else:
+        left = jnp.where(lane % csl == 0,
+                         pltpu.roll(src, (W - csl + 1) % W, 1),
+                         pltpu.roll(src, 1, 1))
+        right = jnp.where(lane % csl == csl - 1,
+                          pltpu.roll(src, csl - 1, 1),
+                          pltpu.roll(src, W - 1, 1))
 
     # Row parity selects the off-column side (black even rows look left;
     # basic_cuda/main.cu:73-79). Global parity == local parity (even blocks).
@@ -173,16 +185,28 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "color", "seed", "rng_mode", "interpret"))
+    "color", "seed", "rng_mode", "interpret", "csl", "ysl"))
 def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
                  *, color: int, seed: int, rng_mode: str = "philox",
-                 interpret: bool = False):
+                 interpret: bool = False, csl: int | None = None,
+                 ysl: int | None = None):
     """One color half-sweep over the packed (H, W) plane."""
+    import numpy as np
+
     H, W = dst.shape
-    BY = _pick_block_rows(H)
+    # In replica mode the block height divides ysl, so vertical wrap targets
+    # are always block-edge rows and ride the edge arrays below.
+    BY = _pick_block_rows(min(H, ysl) if ysl else H)
     nblk = H // BY
 
-    if nblk > 1:
+    if ysl:
+        tops = np.arange(nblk) * BY
+        top_src = np.where(tops % ysl != 0, tops - 1, tops + ysl - 1)
+        bots = (np.arange(nblk) + 1) * BY - 1
+        bot_src = np.where((bots + 1) % ysl != 0, bots + 1, bots - ysl + 1)
+        ups = jnp.take(src, jnp.asarray(top_src), axis=0)
+        dns = jnp.take(src, jnp.asarray(bot_src), axis=0)
+    elif nblk > 1:
         ups = jnp.concatenate([src_up, src[BY - 1::BY][:-1]], axis=0)
         dns = jnp.concatenate([src[BY::BY], src_dn], axis=0)
     else:
@@ -211,7 +235,7 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
 
     kernel = functools.partial(
         _packed_kernel, color=color, row_block=BY, seed=seed,
-        rng_mode=rng_mode, disorder=disorder)
+        rng_mode=rng_mode, disorder=disorder, csl=csl)
 
     return pl.pallas_call(
         kernel,
@@ -231,9 +255,24 @@ class PackedBackend:
     bytes_per_spin = 0.5
 
     def __init__(self, cfg):
+        self.csl = None
+        self.ysl = None
         if cfg.xsl is not None:
-            raise NotImplementedError(
-                "packed backend has no sub-lattice mode yet; use xla")
+            # Replica geometry constraints of the packed layout (the
+            # reference imposes analogous tile-math divisibility,
+            # optimized/main.cu:1440-1453): the compact sub-lattice width
+            # must divide the word-group width, and ysl must be a multiple
+            # of 8 rows so a block height dividing it exists.
+            csl = cfg.xsl // 2
+            W = cfg.ncols // 16
+            if W % csl:
+                raise ValueError(
+                    f"packed replica mode needs xsl/2 ({csl}) to divide "
+                    f"ncols/16 ({W}); use xsl <= ncols/8 or the xla backend")
+            if cfg.ysl % 8:
+                raise ValueError("packed replica mode needs ysl % 8 == 0")
+            self.csl = csl
+            self.ysl = cfg.ysl
         self.cfg = cfg
         self.interpret = jax.default_backend() == "cpu"
 
@@ -254,4 +293,5 @@ class PackedBackend:
         return packed_sweep(dst, src, src_up, src_dn, thr10,
                             jnp.uint32(row0), step, jword,
                             color=color, seed=self.cfg.seed,
-                            rng_mode=self.cfg.rng, interpret=self.interpret)
+                            rng_mode=self.cfg.rng, interpret=self.interpret,
+                            csl=self.csl, ysl=self.ysl)

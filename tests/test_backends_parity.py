@@ -140,3 +140,23 @@ def test_mxu_rejects_unsupported():
                               j_prob=0.5))
     with pytest.raises(ValueError):
         get_backend(SimConfig(nrows=64, ncols=256, backend="mxu"))
+
+
+def test_packed_sublattice_matches_xla():
+    # ncols/16 = 8 word-group width; xsl/2 = 8 divides it; ysl = 8.
+    base = dict(nrows=16, ncols=128, temp=1.5, seed=21, xsl=16, ysl=8)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="packed", **base))
+
+
+def test_packed_sublattice_full_width_groups():
+    # csl == W edge case: every field group is one sub-lattice column-wise.
+    base = dict(nrows=16, ncols=64, temp=1.6, seed=23, xsl=8, ysl=8)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="packed", **base))
+
+
+def test_packed_sublattice_rejects_bad_geometry():
+    with pytest.raises(ValueError):
+        get_backend(SimConfig(nrows=16, ncols=64, backend="packed",
+                              xsl=32, ysl=8))  # csl=16 > W=4
