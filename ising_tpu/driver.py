@@ -96,8 +96,14 @@ class Simulation:
         return self.backend.decode(self.black, self.white)
 
     def measure(self):
-        b, w = self.bits()
-        n_up, n_dn = observables.count_spins(b, w)
+        # Backends with native packed reductions skip the decode (the
+        # popcount path of the reference's getMagn_k).
+        if hasattr(self.backend, "row_up_counts"):
+            rows = self.backend.row_up_counts(self.black, self.white)
+            n_up = int(np.asarray(jax.device_get(rows), np.int64).sum())
+            n_dn = self.cfg.nspins - n_up
+        else:
+            n_up, n_dn = observables.count_spins(*self.bits())
         m = abs(n_up - n_dn) / (n_up + n_dn)
         return {"step": self.step, "magnetization": m,
                 "up": n_up, "down": n_dn}

@@ -111,3 +111,34 @@ def correlation(black, white, corr_len: int = MAX_CORR_LEN,
         correlation_row_sums(black, white, corr_len, xsl, ysl)), dtype=np.int64)
     n = black.size + white.size
     return rows.sum(axis=1) / (2.0 * n)
+
+
+def packed_row_up_counts(black_w, white_w):
+    """row_up_counts computed directly on packed uint32 storage.
+
+    The popcount path of the reference's getMagn_k (optimized/main.cu:702-734
+    via __popc): mask each word to its fields' low bits and popcount, without
+    unpacking 8x to bit planes.
+    """
+    def rows(w):
+        m = (w & jnp.uint32(0x11111111))
+        return jnp.sum(jax.lax.population_count(m).astype(jnp.uint32), axis=1)
+    return rows(black_w) + rows(white_w)
+
+
+def replica_magnetizations(black, white, xsl: int, ysl: int) -> np.ndarray:
+    """|m| per sub-lattice replica, shape (Y//ysl, X//xsl) -> flattened.
+
+    New capability beyond the reference (which only prints the global
+    magnetization even in replica mode): per-replica statistics feed the
+    Binder-cumulant / susceptibility analysis in analysis.py.
+    """
+    from .lattice import bits_to_spins, compact_to_full
+    if xsl * ysl >= 2 ** 31:
+        raise ValueError("replica size too large for exact int32 sums")
+    s = bits_to_spins(compact_to_full(black, white)).astype(jnp.int32)
+    Y, X = s.shape
+    t = s.reshape(Y // ysl, ysl, X // xsl, xsl)
+    sums = jnp.sum(t, axis=(1, 3))  # per-replica spin sum, exact int32
+    m = np.abs(np.asarray(jax.device_get(sums), np.float64)) / (xsl * ysl)
+    return m.reshape(-1)

@@ -282,6 +282,11 @@ class PackedBackend:
     def decode(self, black_store, white_store):
         return unpack_bits(black_store), unpack_bits(white_store)
 
+    def row_up_counts(self, black_store, white_store):
+        """Popcount on packed words (reference getMagn_k analog) — no decode."""
+        from ..observables import packed_row_up_counts
+        return packed_row_up_counts(black_store, white_store)
+
     def encode_jplanes(self, jplanes):
         # One packed word replaces the four bit planes (tuple of len 1 so the
         # driver/stepper can thread it like the dense backend's 4-tuple).
