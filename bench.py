@@ -37,7 +37,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None,
                     help="override flagship backend")
-    ap.add_argument("--rng", default="hw", choices=("philox", "hw"))
+    ap.add_argument("--rng", default="hw", choices=("philox", "hw", "hw16"))
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--cols", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
@@ -76,15 +76,30 @@ def main(argv=None):
     thr = jnp.asarray(ising.threshold_table(cfg.temperature))
     _, step_n = make_sharded_stepper(cfg, be)
 
+    def sync(x):
+        # On the axon tunnel block_until_ready can return before remote
+        # execution finishes; a host readback is the only reliable fence.
+        jax.block_until_ready(x)
+        import numpy as np
+        np.asarray(jax.device_get(x[0][:1, :4]))
+
     # warmup: compile + settle
     b, w = step_n(b, w, thr, jnp.uint32(0), warm)
-    jax.block_until_ready((b, w))
+    sync((b, w))
 
+    # Two step counts; the marginal slope removes fixed dispatch/sync
+    # overhead (~30-70 ms through the tunnel).
     t0 = time.perf_counter()
     b, w = step_n(b, w, thr, jnp.uint32(warm), steps)
-    jax.block_until_ready((b, w))
-    elapsed = time.perf_counter() - t0
+    sync((b, w))
+    t_small = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    b, w = step_n(b, w, thr, jnp.uint32(warm + steps), 2 * steps)
+    sync((b, w))
+    t_large = time.perf_counter() - t0
+
+    elapsed = max(t_large - t_small, 1e-9)
     flips = cfg.nspins * steps
     flips_ns = flips / (elapsed * 1e9)
     print(json.dumps({

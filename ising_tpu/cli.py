@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="xla",
                    choices=("xla", "dense", "packed", "mxu"),
                    help="update kernel backend")
-    p.add_argument("--rng", default="philox", choices=("philox", "hw"),
+    p.add_argument("--rng", default="philox", choices=("philox", "hw", "hw16"),
                    help="philox = bit-reproducible everywhere; "
                         "hw = fastest native generator")
     p.add_argument("--profile", default=None, metavar="DIR",

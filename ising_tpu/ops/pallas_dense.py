@@ -42,6 +42,17 @@ def _pick_block_rows(nrows: int, target: int = 256) -> int:
     return best
 
 
+def _block_rows_for(nrows: int, width_words: int, rng_mode: str) -> int:
+    """Block height bounded so kernel intermediates fit scoped VMEM.
+
+    The philox path keeps ~7 live (BY, width*4_draw_cols) uint32 arrays
+    (the unrolled rounds), so cap BY * width at ~64K words in that mode."""
+    target = 256
+    if rng_mode == "philox":
+        target = max(8, min(256, (1 << 16) // max(1, width_words)))
+    return _pick_block_rows(nrows, target)
+
+
 def _philox_draws(params_ref, rows: int, cols: int, row_block: int,
                   seed: int, tag: int):
     """(rows, cols) uint32 draws for this grid block, philox contract.
@@ -134,7 +145,7 @@ def dense_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
                 interpret: bool = False):
     """One color half-sweep over the whole (H, C) plane."""
     H, C = dst.shape
-    BY = _pick_block_rows(H)
+    BY = _block_rows_for(H, C // 4, rng_mode)
     nblk = H // BY
 
     # Edge-row arrays: block i's missing halo rows. Row i of `ups` is the

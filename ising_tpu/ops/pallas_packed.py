@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
 from ..rng import TAG_SWEEP, key_from_seed, mulhilo32, philox4x32
-from .pallas_dense import _pick_block_rows
+from .pallas_dense import _block_rows_for
 
 M1 = 0x11111111  # low bit of every 4-bit field
 
@@ -160,10 +160,14 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     e = (nsum & mask) | ((jnp.uint32(0x44444444) - nsum) & ~mask)
 
     # Random draws: one uint32 per spin, laid out per the library contract;
-    # field z's plane is the contiguous lane slice [z*W, (z+1)*W).
+    # field z's plane is the contiguous lane slice [z*W, (z+1)*W). Mode
+    # "hw16" draws half the bits (two fields share a word, 16-bit acceptance
+    # granularity ~ 1.5e-5 probability resolution) for RNG-bound speed.
     tag = TAG_SWEEP | color
     if rng_mode == "philox":
         draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
+    elif rng_mode == "hw16":
+        draws = _hw_draw_block(params_ref, BY, 4 * W, seed, tag)
     else:
         draws = _hw_draw_block(params_ref, BY, 8 * W, seed, tag)
 
@@ -171,14 +175,32 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     t4 = thr_ref[8]   # e == 3: exp(-4/T)
     t8 = thr_ref[9]   # e == 4: exp(-8/T)
 
+    # SWAR class bits: one add+mask classifies all 8 fields at once
+    # (e <= 4 so e + (8 - k) sets field bit 3 exactly when e >= k).
+    M8 = jnp.uint32(0x88888888)
+    ge2 = (e + jnp.uint32(0x66666666)) & M8
+    ge3 = (e + jnp.uint32(0x55555555)) & M8
+    ge4 = (e + jnp.uint32(0x44444444)) & M8
+
+    # tFULL guarantees acceptance for e < 2 even at T <= 0 where t0 < max.
+    tFULL = jnp.uint32(0xFFFFFFFF)
     flip = jnp.zeros((BY, W), jnp.uint32)
     for z in range(8):
-        ez = (e >> (4 * z)) & jnp.uint32(0xF)
-        r = draws[:, z * W:(z + 1) * W]
-        acc = ((ez < 2)
-               | ((ez == 2) & (r <= t0))
-               | ((ez == 3) & (r <= t4))
-               | ((ez == 4) & (r <= t8)))
+        # Shift the field's class bit to the sign position: one shift + one
+        # signed compare per class, no multiplies.
+        lt2 = (ge2 << (28 - 4 * z)).astype(jnp.int32) >= 0
+        is4 = (ge4 << (28 - 4 * z)).astype(jnp.int32) < 0
+        is3 = (ge3 << (28 - 4 * z)).astype(jnp.int32) < 0
+        # threshold select by class (e<2 -> always accept; 2/3/4 -> t0/t4/t8)
+        tsel = jnp.where(lt2, tFULL,
+                         jnp.where(is4, t8, jnp.where(is3, t4, t0)))
+        if rng_mode == "hw16":
+            half = draws[:, (z // 2) * W:(z // 2 + 1) * W]
+            r = (half >> (16 * (z & 1))) & jnp.uint32(0xFFFF)
+            acc = r <= (tsel >> 16)
+        else:
+            r = draws[:, z * W:(z + 1) * W]
+            acc = r <= tsel
         flip = flip | (acc.astype(jnp.uint32) << (4 * z))
 
     out_ref[...] = me ^ flip
@@ -196,7 +218,7 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
     H, W = dst.shape
     # In replica mode the block height divides ysl, so vertical wrap targets
     # are always block-edge rows and ride the edge arrays below.
-    BY = _pick_block_rows(min(H, ysl) if ysl else H)
+    BY = _block_rows_for(min(H, ysl) if ysl else H, 2 * W, rng_mode)
     nblk = H // BY
 
     if ysl:
