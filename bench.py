@@ -88,18 +88,22 @@ def main(argv=None):
     sync((b, w))
 
     # Two step counts; the marginal slope removes fixed dispatch/sync
-    # overhead (~30-70 ms through the tunnel).
-    t0 = time.perf_counter()
-    b, w = step_n(b, w, thr, jnp.uint32(warm), steps)
-    sync((b, w))
-    t_small = time.perf_counter() - t0
+    # overhead (~30-70 ms through the tunnel). Median of 3 for stability.
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b, w = step_n(b, w, thr, jnp.uint32(warm), steps)
+        sync((b, w))
+        t_small = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    b, w = step_n(b, w, thr, jnp.uint32(warm + steps), 2 * steps)
-    sync((b, w))
-    t_large = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b, w = step_n(b, w, thr, jnp.uint32(warm + steps), 2 * steps)
+        sync((b, w))
+        t_large = time.perf_counter() - t0
+        diffs.append(t_large - t_small)
 
-    elapsed = max(t_large - t_small, 1e-9)
+    diffs.sort()
+    elapsed = max(diffs[1], 1e-9)
     flips = cfg.nspins * steps
     flips_ns = flips / (elapsed * 1e9)
     print(json.dumps({

@@ -159,21 +159,20 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     mask = (m1 << 4) - m1          # 0xF where b=1, 0x0 where b=0
     e = (nsum & mask) | ((jnp.uint32(0x44444444) - nsum) & ~mask)
 
-    # Random draws: one uint32 per spin, laid out per the library contract;
-    # field z's plane is the contiguous lane slice [z*W, (z+1)*W). Mode
-    # "hw16" draws half the bits (two fields share a word, 16-bit acceptance
-    # granularity ~ 1.5e-5 probability resolution) for RNG-bound speed.
     tag = TAG_SWEEP | color
+    t0 = thr_ref[7]   # e == 2 threshold (sub-unity only at T <= 0)
+    t4 = thr_ref[8]   # e == 3: exp(-4/T)
+    t8 = thr_ref[9]   # e == 4: exp(-8/T)
+
+    # (A 16-bit two-spins-per-lane decision path was prototyped but v5e's
+    # Mosaic target supports no 16-bit vector compares/shifts, so the
+    # decision stays in 32-bit lanes. "hw16" only halves RNG generation.)
     if rng_mode == "philox":
         draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
     elif rng_mode == "hw16":
         draws = _hw_draw_block(params_ref, BY, 4 * W, seed, tag)
     else:
         draws = _hw_draw_block(params_ref, BY, 8 * W, seed, tag)
-
-    t0 = thr_ref[7]   # e == 2 threshold (sub-unity only at T <= 0)
-    t4 = thr_ref[8]   # e == 3: exp(-4/T)
-    t8 = thr_ref[9]   # e == 4: exp(-8/T)
 
     # SWAR class bits: one add+mask classifies all 8 fields at once
     # (e <= 4 so e + (8 - k) sets field bit 3 exactly when e >= k).
@@ -182,16 +181,16 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     ge3 = (e + jnp.uint32(0x55555555)) & M8
     ge4 = (e + jnp.uint32(0x44444444)) & M8
 
-    # tFULL guarantees acceptance for e < 2 even at T <= 0 where t0 < max.
+    # tFULL guarantees acceptance for e < 2 even at T <= 0 (t0 < max).
     tFULL = jnp.uint32(0xFFFFFFFF)
     flip = jnp.zeros((BY, W), jnp.uint32)
     for z in range(8):
-        # Shift the field's class bit to the sign position: one shift + one
-        # signed compare per class, no multiplies.
+        # Shift the field's class bit to the sign position: one shift +
+        # one signed compare per class, no multiplies.
         lt2 = (ge2 << (28 - 4 * z)).astype(jnp.int32) >= 0
         is4 = (ge4 << (28 - 4 * z)).astype(jnp.int32) < 0
         is3 = (ge3 << (28 - 4 * z)).astype(jnp.int32) < 0
-        # threshold select by class (e<2 -> always accept; 2/3/4 -> t0/t4/t8)
+        # threshold by class (e<2 -> always accept; 2/3/4 -> t0/t4/t8)
         tsel = jnp.where(lt2, tFULL,
                          jnp.where(is4, t8, jnp.where(is3, t4, t0)))
         if rng_mode == "hw16":

@@ -78,3 +78,20 @@ def test_sharded_sublattice():
 def test_mesh_construction():
     mesh = make_mesh(8)
     assert mesh.devices.shape == (8,)
+
+
+@pytest.mark.parametrize("backend", ["packed", "dense"])
+def test_sharded_pallas_backends_match_single(backend):
+    base = dict(nrows=32, ncols=64, temp=1.9, seed=31, backend=backend)
+    b1, w1 = run(SimConfig(ndev=1, **base), 3)
+    bn, wn = run(SimConfig(ndev=4, **base), 3)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(bn))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(wn))
+
+
+def test_sharded_packed_matches_xla():
+    base = dict(nrows=32, ncols=64, temp=1.7, seed=8)
+    bx, wx = run(SimConfig(ndev=4, backend="xla", **base), 3)
+    bp, wp = run(SimConfig(ndev=4, backend="packed", **base), 3)
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(wx), np.asarray(wp))
