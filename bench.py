@@ -46,7 +46,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ising_tpu import SimConfig, get_backend
-    from ising_tpu.constants import BLACK, WHITE
     from ising_tpu.lattice import init_bits
     from ising_tpu.models import ising
     from ising_tpu.parallel import make_sharded_stepper

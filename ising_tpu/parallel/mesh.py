@@ -16,6 +16,18 @@ from jax.sharding import Mesh
 ROW_AXIS = "rows"
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Initialize jax.distributed for multi-host meshes (DCN between hosts).
+
+    The reference has no multi-node story (its IPC halo cannot cross hosts,
+    SURVEY.md §4); here multi-host is the same code path — call this before
+    make_mesh() on each host and build the mesh over jax.devices().
+    """
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(ndev: int | None = None, devices=None) -> Mesh:
     """1-D mesh over `ndev` devices (default: all local devices)."""
     if devices is None:

@@ -117,3 +117,18 @@ def test_run_with_disorder_and_corr(tmp_path, monkeypatch):
     assert len(corrs) == 1
     lines = corrs[0].read_text().strip().splitlines()
     assert len(lines) == 2  # measurements at steps 2 and 4
+
+
+def test_run_sharded_packed_backend():
+    base = dict(nrows=32, ncols=64, temp=1.9, seed=17, niters=4)
+    s1 = Simulation(SimConfig(ndev=1, backend="packed", **base))
+    s1.run(log=lambda *a: None)
+    s8 = Simulation(SimConfig(ndev=8, backend="packed", **base))
+    s8.run(log=lambda *a: None)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s8.bits()[0]))
+    # and equals the xla trajectory
+    sx = Simulation(SimConfig(ndev=1, backend="xla", **base))
+    sx.run(log=lambda *a: None)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(sx.bits()[0]))
