@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rng", default="philox", choices=("philox", "hw", "hw16"),
                    help="philox = bit-reproducible everywhere; "
                         "hw = fastest native generator")
+    p.add_argument("--use-common-seed", action="store_true",
+                   help="accepted for basic_python CLI parity; a no-op "
+                        "because rng=philox already yields trajectories "
+                        "independent of the device count")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--checkpoint", default=None, metavar="PATH",

@@ -152,6 +152,7 @@ class Simulation:
         m0 = self.measure()
         log(f"Initial magnetization: {m0['magnetization']:9.6f}, "
             f"up_s: {m0['up']:12d}, dw_s: {m0['down']:12d}")
+        series = [(0, m0["magnetization"])]
 
         self.block()
         t0 = time.perf_counter()
@@ -164,6 +165,7 @@ class Simulation:
             if ev in events:
                 self.block()
                 mm = self.measure()
+                series.append((ev, mm["magnetization"]))
                 log(f"        magnetization: {mm['magnetization']:9.6f}, "
                     f"up_s: {mm['up']:12d}, dw_s: {mm['down']:12d} "
                     f"(iter: {ev:8d})")
@@ -198,7 +200,7 @@ class Simulation:
             f"(BW: {bw:.2f} GB/s)")
         return {"steps": done, "elapsed_s": elapsed, "flips_ns": flips_ns,
                 "bw_gbs": bw, "magnetization": mf["magnetization"],
-                "stopped_early": stopped_early,
+                "stopped_early": stopped_early, "series": series,
                 "temp_final": self.temp, "alpha_unit": t_unit}
 
     # -- event actions -----------------------------------------------------

@@ -32,6 +32,18 @@ from ..constants import BLACK
 from ..rng import TAG_SWEEP, key_from_seed, mulhilo32, philox4x32
 
 
+def unsigned_le(a, b):
+    """a <= b as unsigned uint32, via signed-domain bias.
+
+    Mosaic on v5e was observed to mis-execute unsigned vector compares when
+    operating on sub-128-lane (masked-vreg) shapes; XOR 0x80000000 on both
+    sides makes the equivalent signed compare, which lowers correctly at
+    every shape. Semantics are bit-identical to the unsigned compare.
+    """
+    bias = jnp.uint32(0x80000000)
+    return (a ^ bias).astype(jnp.int32) <= (b ^ bias).astype(jnp.int32)
+
+
 def _pick_block_rows(nrows: int, target: int = 256) -> int:
     """Row-block height: a multiple-of-8 divisor of nrows <= target (TPU
     sublane constraint when the grid has >1 block), else the whole plane."""
@@ -43,13 +55,16 @@ def _pick_block_rows(nrows: int, target: int = 256) -> int:
 
 
 def _block_rows_for(nrows: int, width_words: int, rng_mode: str) -> int:
-    """Block height bounded so kernel intermediates fit scoped VMEM.
+    """Block height bounded so kernel intermediates fit scoped VMEM (16 MB).
 
-    The philox path keeps ~7 live (BY, width*4_draw_cols) uint32 arrays
-    (the unrolled rounds), so cap BY * width at ~64K words in that mode."""
-    target = 256
+    width_words is the widest per-row intermediate in 32-bit words. The
+    philox path keeps ~7 live unrolled-round arrays (tight cap); the other
+    modes keep ~6 stencil/draw intermediates (looser cap)."""
     if rng_mode == "philox":
-        target = max(8, min(256, (1 << 16) // max(1, width_words)))
+        cap = (1 << 16) // max(1, width_words)
+    else:
+        cap = (1 << 18) // max(1, width_words)
+    target = max(8, min(256, cap))
     return _pick_block_rows(nrows, target)
 
 
@@ -134,7 +149,7 @@ def _sweep_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     thr = jnp.zeros((BY, C), jnp.uint32)
     for k in range(10):
         thr = jnp.where(idx == k, thr_ref[k], thr)
-    accept = (draws <= thr).astype(jnp.int32)
+    accept = unsigned_le(draws, thr).astype(jnp.int32)
     out_ref[...] = (dst ^ accept).astype(jnp.uint8)
 
 
@@ -145,7 +160,9 @@ def dense_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
                 interpret: bool = False):
     """One color half-sweep over the whole (H, C) plane."""
     H, C = dst.shape
-    BY = _block_rows_for(H, C // 4, rng_mode)
+    # Widest intermediates: (BY, C) int32 stencil arrays (and in philox
+    # mode the unrolled-round quad arrays of width C/4).
+    BY = _block_rows_for(H, C // 4 if rng_mode == "philox" else C, rng_mode)
     nblk = H // BY
 
     # Edge-row arrays: block i's missing halo rows. Row i of `ups` is the

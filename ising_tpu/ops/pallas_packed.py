@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
 from ..rng import TAG_SWEEP, key_from_seed, mulhilo32, philox4x32
-from .pallas_dense import _block_rows_for
+from .pallas_dense import _block_rows_for, unsigned_le
 
 M1 = 0x11111111  # low bit of every 4-bit field
 
@@ -196,11 +196,13 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         if rng_mode == "hw16":
             half = draws[:, (z // 2) * W:(z // 2 + 1) * W]
             r = (half >> (16 * (z & 1))) & jnp.uint32(0xFFFF)
-            acc = r <= (tsel >> 16)
+            acc = r.astype(jnp.int32) <= (tsel >> 16).astype(jnp.int32)
         else:
             r = draws[:, z * W:(z + 1) * W]
-            acc = r <= tsel
-        flip = flip | (acc.astype(jnp.uint32) << (4 * z))
+            acc = unsigned_le(r, tsel)
+        # Select the pre-shifted constant rather than convert-then-shift:
+        # Mosaic mis-executes (bool -> u32) << k on sub-128-lane shapes.
+        flip = flip | jnp.where(acc, jnp.uint32(1 << (4 * z)), jnp.uint32(0))
 
     out_ref[...] = me ^ flip
 
@@ -216,8 +218,10 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
 
     H, W = dst.shape
     # In replica mode the block height divides ysl, so vertical wrap targets
-    # are always block-edge rows and ride the edge arrays below.
-    BY = _block_rows_for(min(H, ysl) if ysl else H, 2 * W, rng_mode)
+    # are always block-edge rows and ride the edge arrays below. Width cap:
+    # the draws block is (BY, 8W) u32 in hw mode / quad arrays in philox.
+    BY = _block_rows_for(min(H, ysl) if ysl else H,
+                         2 * W if rng_mode == "philox" else 4 * W, rng_mode)
     nblk = H // BY
 
     if ysl:
@@ -296,6 +300,17 @@ class PackedBackend:
             self.ysl = cfg.ysl
         self.cfg = cfg
         self.interpret = jax.default_backend() == "cpu"
+        if not self.interpret and cfg.ncols % 2048:
+            # On compiled TPU the packed plane width W = ncols/16 must fill
+            # whole 128-lane registers: Mosaic was observed to mis-execute
+            # one field's accept-bit accumulation on sub-128-lane shapes
+            # (silent wrong results — verified against the CPU ground truth;
+            # see PERF.md). The reference's optimized kernel imposes the
+            # identical constraint for its own tile math
+            # (optimized/main.cu:1412: X must be a multiple of 2048).
+            raise ValueError(
+                "packed backend on TPU requires ncols % 2048 == 0; "
+                "use the dense or xla backend for smaller lattices")
 
     def encode(self, black_bits, white_bits):
         return pack_bits(black_bits), pack_bits(white_bits)
