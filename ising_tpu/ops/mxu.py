@@ -137,7 +137,7 @@ class MxuBackend:
         else:
             draws = hw_draws(self.cfg.seed, H, C, step=step,
                              tag=TAG_SWEEP | color)
-        idx = dst.astype(jnp.int32) * 5 + n
-        thr = jnp.take(thr10, idx)
+        from .xla_ref import select_threshold
+        thr = select_threshold(dst, n, thr10)
         accept = (draws <= thr).astype(jnp.uint8)
         return dst ^ accept

@@ -39,6 +39,22 @@ def make_col_wrap_maps(ncols_half: int, xsl: int):
     return jnp.asarray(left), jnp.asarray(right)
 
 
+def select_threshold(dst_bits, nsum, thr10):
+    """Per-site uint32 acceptance threshold via the mirrored count.
+
+    e = b ? n : 4-n collapses the 2x5 table to three entries (e=2/3/4 ->
+    thr10[7]/[8]/[9]; e<2 always accepts). Exactly equivalent to indexing
+    thr10[b*5+n] because thr10[0*5+n] == thr10[1*5+(4-n)] by construction
+    (identical float expressions), but selects instead of gathering — TPU
+    gathers are slow, and this mirrors the packed kernel's logic.
+    """
+    e = jnp.where(dst_bits.astype(jnp.int32) == 1,
+                  nsum.astype(jnp.int32), 4 - nsum.astype(jnp.int32))
+    return jnp.where(e < 2, jnp.uint32(0xFFFFFFFF),
+                     jnp.where(e == 2, thr10[7],
+                               jnp.where(e == 3, thr10[8], thr10[9])))
+
+
 def sweep_color(dst, src, *, color: int, thr10, draws,
                 src_up=None, src_dn=None,
                 row_idx_up=None, row_idx_dn=None,
@@ -90,8 +106,7 @@ def sweep_color(dst, src, *, color: int, thr10, draws,
         off = off ^ j_off
 
     nsum = up + dn + same + off  # bit sum in 0..4, fits uint8
-    idx = (dst * jnp.uint8(5) + nsum).astype(jnp.int32)
-    thr = jnp.take(thr10, idx)
+    thr = select_threshold(dst, nsum, thr10)
     accept = (draws <= thr).astype(jnp.uint8)
     return dst ^ accept
 
