@@ -103,7 +103,7 @@ def _hw_draws(params_ref, rows: int, cols: int, seed: int, tag: int):
 
 def _sweep_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                   *rest, color: int, row_block: int, seed: int,
-                  rng_mode: str, disorder: bool):
+                  rng_mode: str, disorder: bool, interp: bool = False):
     """One row block of a color sweep. rest = 4 J planes + out_ref."""
     out_ref = rest[-1]
     BY = row_block
@@ -143,6 +143,9 @@ def _sweep_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     tag = TAG_SWEEP | color
     if rng_mode == "philox":
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag)
+    elif interp:
+        # CPU interpreter lacks prng_seed; salted Philox substitute.
+        draws = _philox_draws(params_ref, BY, C, BY, seed, tag | 0x8000)
     else:
         draws = _hw_draws(params_ref, BY, C, seed, tag)
 
@@ -197,7 +200,7 @@ def dense_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
 
     kernel = functools.partial(
         _sweep_kernel, color=color, row_block=BY, seed=seed,
-        rng_mode=rng_mode, disorder=disorder)
+        rng_mode=rng_mode, disorder=disorder, interp=interpret)
 
     return pl.pallas_call(
         kernel,

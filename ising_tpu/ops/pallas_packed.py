@@ -98,7 +98,8 @@ def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
 
 def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                    *rest, color: int, row_block: int, seed: int,
-                   rng_mode: str, disorder: bool, csl: int | None = None):
+                   rng_mode: str, disorder: bool, csl: int | None = None,
+                   interp: bool = False):
     out_ref = rest[-1]
     BY = row_block
     W = dst_ref.shape[1]
@@ -169,6 +170,12 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     # decision stays in 32-bit lanes. "hw16" only halves RNG generation.)
     if rng_mode == "philox":
         draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
+    elif interp:
+        # The CPU interpreter has no prng_seed; substitute a salted Philox
+        # stream (hw modes carry no reproducibility contract anyway).
+        cols = 4 * W if rng_mode == "hw16" else 8 * W
+        draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
+                                   tag | 0x8000)
     elif rng_mode == "hw16":
         draws = _hw_draw_block(params_ref, BY, 4 * W, seed, tag)
     else:
@@ -260,7 +267,7 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
 
     kernel = functools.partial(
         _packed_kernel, color=color, row_block=BY, seed=seed,
-        rng_mode=rng_mode, disorder=disorder, csl=csl)
+        rng_mode=rng_mode, disorder=disorder, csl=csl, interp=interpret)
 
     return pl.pallas_call(
         kernel,

@@ -74,7 +74,10 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
         row_sharded = NamedSharding(mesh, P(ROW_AXIS, None))
         repl = NamedSharding(mesh, P())
         plane_spec = P(ROW_AXIS, None)
-        jspec = P() if jplanes is None else (plane_spec,) * 4
+        # Disorder planes shard like the lattice; match each backend's
+        # jplane tuple arity (4 bit planes, or 1 packed word for "packed").
+        jspec = P() if jplanes is None else \
+            tuple(plane_spec for _ in jplanes[0])
         inner = shard_map(
             loop, mesh=mesh,
             in_specs=(plane_spec, plane_spec, P(), P(), P(), jspec, jspec),

@@ -95,3 +95,44 @@ def test_sharded_packed_matches_xla():
     bp, wp = run(SimConfig(ndev=4, backend="packed", **base), 3)
     np.testing.assert_array_equal(np.asarray(bx), np.asarray(bp))
     np.testing.assert_array_equal(np.asarray(wx), np.asarray(wp))
+
+
+@pytest.mark.parametrize("backend", ["xla", "packed"])
+def test_sharded_disorder_matches_single(backend):
+    """Quenched disorder planes must shard correctly with the lattice."""
+    from ising_tpu.driver import Simulation
+    base = dict(nrows=32, ncols=64, temp=1.4, seed=23, backend=backend,
+                j_prob=0.35, niters=3)
+    s1 = Simulation(SimConfig(ndev=1, **base)); s1.advance(3)
+    s4 = Simulation(SimConfig(ndev=4, **base)); s4.advance(3)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s4.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(s1.bits()[1]),
+                                  np.asarray(s4.bits()[1]))
+
+
+def test_sharded_replica_packed_matches_single():
+    from ising_tpu.driver import Simulation
+    base = dict(nrows=32, ncols=128, temp=1.6, seed=29, backend="packed",
+                xsl=16, ysl=8, niters=3)
+    s1 = Simulation(SimConfig(ndev=1, **base)); s1.advance(3)
+    s4 = Simulation(SimConfig(ndev=4, **base)); s4.advance(3)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s4.bits()[0]))
+
+
+def test_hw_modes_smoke():
+    """hw/hw16 modes: not bit-reproducible, but must stay physical."""
+    from ising_tpu.driver import Simulation
+    from ising_tpu import observables
+    for rng in ("hw", "hw16"):
+        cfg = SimConfig(nrows=64, ncols=64, temp=1.0, seed=5,
+                        backend="packed", rng=rng, niters=1)
+        sim = Simulation(cfg)
+        ch = cfg.ncols // 2
+        import jax.numpy as jnp
+        sim.black, sim.white = sim.backend.encode(
+            jnp.ones((64, ch), jnp.uint8), jnp.ones((64, ch), jnp.uint8))
+        sim.advance(40)
+        m = observables.magnetization(*sim.bits())
+        assert m > 0.99, f"rng={rng}: ordered state melted ({m})"
