@@ -77,7 +77,9 @@ def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
             vcorr = jnp.sum(s * jnp.roll(s, -d, axis=0), axis=1)
             return hcorr + vcorr  # (Y,)
 
-    return jax.vmap(one)(jnp.arange(1, corr_len + 1))
+    # Sequential map, not vmap: batching the rolls would materialize a
+    # (corr_len, Y, X) intermediate — gigabytes at production lattice sizes.
+    return jax.lax.map(one, jnp.arange(1, corr_len + 1))
 
 
 # ----------------------------------------------------------------------------
