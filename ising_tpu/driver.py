@@ -83,9 +83,6 @@ class Simulation:
         if self.shardings["plane"] is not None:
             b = jax.device_put(b, self.shardings["plane"])
             w = jax.device_put(w, self.shardings["plane"])
-        if jplanes is not None and self.shardings["plane"] is not None:
-            # jplanes were captured in the stepper closure already placed.
-            pass
         self.black, self.white = b, w
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
 

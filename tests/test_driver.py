@@ -132,3 +132,50 @@ def test_run_sharded_packed_backend():
     sx.run(log=lambda *a: None)
     np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
                                   np.asarray(sx.bits()[0]))
+
+
+def test_checkpoint_resume_packed(tmp_path):
+    base = dict(nrows=16, ncols=32, temp=1.8, seed=11, backend="packed")
+    s1 = Simulation(SimConfig(niters=10, **base))
+    s1.advance(10)
+    s2 = Simulation(SimConfig(niters=10, **base))
+    s2.advance(5)
+    path = str(tmp_path / "ck.npz")
+    s2.checkpoint(path)
+    s3 = Simulation.from_checkpoint(path)
+    assert s3.cfg.backend == "packed"
+    s3.advance(5)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s3.bits()[0]))
+
+
+def test_checkpoint_resume_across_backends(tmp_path):
+    """A checkpoint written by one backend resumes exactly on another."""
+    import dataclasses
+    base = dict(nrows=16, ncols=32, temp=1.8, seed=11)
+    s1 = Simulation(SimConfig(niters=10, backend="xla", **base))
+    s1.advance(10)
+    s2 = Simulation(SimConfig(niters=10, backend="packed", **base))
+    s2.advance(5)
+    path = str(tmp_path / "ck.npz")
+    s2.checkpoint(path)
+    s3 = Simulation.from_checkpoint(path, backend="xla")
+    s3.advance(5)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s3.bits()[0]))
+
+
+def test_run_exponential_schedule(capsys):
+    cfg = SimConfig(nrows=16, ncols=16, temp=1.5, seed=2, niters=16,
+                    print_exp=True)
+    res = Simulation(cfg).run(log=print)
+    out = capsys.readouterr().out
+    # schedule hits 1,2,3,4,5,6,7,8,10,11,13,16 -> 12 measurement lines
+    assert out.count("(iter:") >= 10
+    assert res["steps"] == 16
+
+
+def test_minimal_geometry():
+    cfg = SimConfig(nrows=2, ncols=8, temp=2.0, seed=3, niters=4)
+    res = Simulation(cfg).run(log=lambda *a: None)
+    assert res["steps"] == 4
