@@ -13,6 +13,10 @@ measurement traffic inside the timed region, fixed step count, flips =
 nrows * ncols * steps.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import argparse
 import json
 import sys
