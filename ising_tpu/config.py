@@ -86,10 +86,11 @@ class SimConfig:
         if self.rng not in ("philox", "hw", "hw16"):
             raise ValueError(f"unknown rng mode {self.rng!r}")
         if self.backend == "packed":
-            # Compact row must fill whole 8-spin words. (For peak TPU
-            # throughput use ncols % 2048 == 0 so packed rows fill 128-lane
-            # registers, mirroring the reference's X % 2048 constraint,
-            # optimized/main.cu:1412-1421 — smaller sizes still run.)
+            # Compact row must fill whole 8-spin words here; on compiled
+            # TPU the backend additionally requires ncols % 2048 == 0
+            # (128-lane-aligned packed rows — the reference's own X % 2048
+            # constraint, optimized/main.cu:1412-1421; see PERF.md). Smaller
+            # sizes run in interpreter mode / on CPU.
             if self.ncols % (2 * SPINS_PER_WORD):
                 raise ValueError("packed backend needs ncols multiple of 16")
         if self.backend == "mxu" and self.ncols % 256:
