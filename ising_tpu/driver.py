@@ -122,6 +122,10 @@ class Simulation:
     def set_temperature(self, temp: float):
         self.temp = float(temp)
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
+        if hasattr(self.backend, "greedy"):
+            # Crossing T = 0 switches the packed kernel's static accept
+            # variant (jit retraces on the flag change).
+            self.backend.greedy = self.temp <= 0
 
     # -- the full reference-style run -------------------------------------
 

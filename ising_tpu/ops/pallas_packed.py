@@ -99,7 +99,7 @@ def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
 def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                    *rest, color: int, row_block: int, seed: int,
                    rng_mode: str, disorder: bool, csl: int | None = None,
-                   interp: bool = False):
+                   interp: bool = False, greedy: bool = False):
     out_ref = rest[-1]
     BY = row_block
     W = dst_ref.shape[1]
@@ -184,29 +184,46 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     # SWAR class bits: one add+mask classifies all 8 fields at once
     # (e <= 4 so e + (8 - k) sets field bit 3 exactly when e >= k).
     M8 = jnp.uint32(0x88888888)
-    ge2 = (e + jnp.uint32(0x66666666)) & M8
     ge3 = (e + jnp.uint32(0x55555555)) & M8
     ge4 = (e + jnp.uint32(0x44444444)) & M8
 
-    # tFULL guarantees acceptance for e < 2 even at T <= 0 (t0 < max).
-    tFULL = jnp.uint32(0xFFFFFFFF)
+    # The unsigned compare runs in the signed domain (see unsigned_le):
+    # bias the whole draw block once and pre-bias the scalar thresholds, so
+    # the loop body pays only the compare.
+    bias = jnp.uint32(0x80000000)
+    tFb = jnp.int32(0x7FFFFFFF)              # 0xFFFFFFFF ^ bias: full accept
+    t4b = (t4 ^ bias).astype(jnp.int32)
+    t8b = (t8 ^ bias).astype(jnp.int32)
+    if rng_mode != "hw16":
+        draws = (draws ^ bias).astype(jnp.int32)
+
+    # greedy = T <= 0 quench semantics: the e == 2 class coin-flips on t0
+    # instead of always accepting, needing a third select.
+    if greedy:
+        ge2 = (e + jnp.uint32(0x66666666)) & M8
+        t0b = (t0 ^ bias).astype(jnp.int32)
+
     flip = jnp.zeros((BY, W), jnp.uint32)
     for z in range(8):
         # Shift the field's class bit to the sign position: one shift +
         # one signed compare per class, no multiplies.
-        lt2 = (ge2 << (28 - 4 * z)).astype(jnp.int32) >= 0
         is4 = (ge4 << (28 - 4 * z)).astype(jnp.int32) < 0
         is3 = (ge3 << (28 - 4 * z)).astype(jnp.int32) < 0
-        # threshold by class (e<2 -> always accept; 2/3/4 -> t0/t4/t8)
-        tsel = jnp.where(lt2, tFULL,
-                         jnp.where(is4, t8, jnp.where(is3, t4, t0)))
+        if greedy:
+            lt2 = (ge2 << (28 - 4 * z)).astype(jnp.int32) >= 0
+            tsel = jnp.where(lt2, tFb,
+                             jnp.where(is4, t8b, jnp.where(is3, t4b, t0b)))
+        else:
+            # T > 0: every e <= 2 class accepts unconditionally.
+            tsel = jnp.where(is4, t8b, jnp.where(is3, t4b, tFb))
         if rng_mode == "hw16":
             half = draws[:, (z // 2) * W:(z // 2 + 1) * W]
             r = (half >> (16 * (z & 1))) & jnp.uint32(0xFFFF)
-            acc = r.astype(jnp.int32) <= (tsel >> 16).astype(jnp.int32)
+            acc = r.astype(jnp.int32) <= ((tsel.astype(jnp.uint32) ^ bias)
+                                          >> 16).astype(jnp.int32)
         else:
             r = draws[:, z * W:(z + 1) * W]
-            acc = unsigned_le(r, tsel)
+            acc = r <= tsel
         # Select the pre-shifted constant rather than convert-then-shift:
         # Mosaic mis-executes (bool -> u32) << k on sub-128-lane shapes.
         flip = flip | jnp.where(acc, jnp.uint32(1 << (4 * z)), jnp.uint32(0))
@@ -215,11 +232,11 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "color", "seed", "rng_mode", "interpret", "csl", "ysl"))
+    "color", "seed", "rng_mode", "interpret", "csl", "ysl", "greedy"))
 def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
                  *, color: int, seed: int, rng_mode: str = "philox",
                  interpret: bool = False, csl: int | None = None,
-                 ysl: int | None = None):
+                 ysl: int | None = None, greedy: bool = False):
     """One color half-sweep over the packed (H, W) plane."""
     import numpy as np
 
@@ -267,7 +284,8 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
 
     kernel = functools.partial(
         _packed_kernel, color=color, row_block=BY, seed=seed,
-        rng_mode=rng_mode, disorder=disorder, csl=csl, interp=interpret)
+        rng_mode=rng_mode, disorder=disorder, csl=csl, interp=interpret,
+        greedy=greedy)
 
     return pl.pallas_call(
         kernel,
@@ -306,6 +324,10 @@ class PackedBackend:
             self.csl = csl
             self.ysl = cfg.ysl
         self.cfg = cfg
+        # Static accept-path variant: T <= 0 quench needs the extra e == 2
+        # coin-flip class. The driver flips this attribute (triggering a
+        # retrace) if set_temperature ever crosses zero.
+        self.greedy = cfg.temperature <= 0
         self.interpret = jax.default_backend() == "cpu"
         if not self.interpret and cfg.ncols % 2048:
             # On compiled TPU the packed plane width W = ncols/16 must fill
@@ -342,4 +364,4 @@ class PackedBackend:
                             jnp.uint32(row0), step, jword,
                             color=color, seed=self.cfg.seed,
                             rng_mode=self.cfg.rng, interpret=self.interpret,
-                            csl=self.csl, ysl=self.ysl)
+                            csl=self.csl, ysl=self.ysl, greedy=self.greedy)
