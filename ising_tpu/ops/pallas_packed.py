@@ -197,6 +197,35 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     if rng_mode != "hw16":
         draws = (draws ^ bias).astype(jnp.int32)
 
+    if not greedy and rng_mode != "hw16":
+        # T > 0 plane-wise path: two whole-plane compares + word-mask
+        # assembly, ~30% fewer vector ops than the per-field loop below.
+        #   g3/g4: field low-bit = (e >= 3) / (e >= 4)
+        #   P4w/P8w: field low-bit = (r <= t4) / (r <= t8), packed by
+        #     selecting a lane-structured weight plane (lane zW+j carries
+        #     1 << 4z) and OR-reducing the 8 aligned lane groups.
+        #   flip = always-accept (e < 3) | class-3 & P4w | class-4 & P8w.
+        g3 = (ge3 >> 3) & jnp.uint32(M1)
+        g4 = (ge4 >> 3) & jnp.uint32(M1)
+        # Built from scalar fills (pallas kernels cannot capture array
+        # constants): lane z*W+j carries weight 1 << 4z.
+        wvec = jnp.concatenate(
+            [jnp.full((1, W), jnp.uint32(1 << (4 * z))) for z in range(8)],
+            axis=1)
+        cmp4 = draws <= t4b
+        cmp8 = draws <= t8b
+        P4 = jnp.where(cmp4, wvec, jnp.uint32(0))
+        P8 = jnp.where(cmp8, wvec, jnp.uint32(0))
+        P4w = P4[:, 0:W]
+        P8w = P8[:, 0:W]
+        for z in range(1, 8):
+            P4w = P4w | P4[:, z * W:(z + 1) * W]
+            P8w = P8w | P8[:, z * W:(z + 1) * W]
+        M1w = jnp.uint32(M1)
+        flip = ((M1w & ~g3) | (g3 & ~g4 & P4w) | (g4 & P8w))
+        out_ref[...] = me ^ flip
+        return
+
     # greedy = T <= 0 quench semantics: the e == 2 class coin-flips on t0
     # instead of always accepting, needing a third select.
     if greedy:
