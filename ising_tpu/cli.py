@@ -59,9 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="xla",
                    choices=("xla", "dense", "packed", "mxu"),
                    help="update kernel backend")
-    p.add_argument("--rng", default="philox", choices=("philox", "hw", "hw16"),
-                   help="philox = bit-reproducible everywhere; "
-                        "hw = fastest native generator")
+    p.add_argument("--rng", default="philox", choices=("philox", "threefry", "hw", "hw16"),
+                   help="philox/threefry = bit-reproducible everywhere "
+                        "(threefry is faster on TPU); hw = fastest native")
     p.add_argument("--use-common-seed", action="store_true",
                    help="accepted for basic_python CLI parity; a no-op "
                         "because rng=philox already yields trajectories "

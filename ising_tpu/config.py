@@ -33,9 +33,10 @@ class SimConfig:
     backend: str = "xla"
 
     # RNG mode: "philox" = counter-based Philox4x32-10, bit-reproducible
-    # across backends/shardings; "hw" = fastest native generator per
-    # backend; "hw16" = hw with 16-bit acceptance granularity (halves RNG
-    # generation in the packed kernel; probability resolution 1.5e-5).
+    # across backends/shardings; "threefry" = counter-based Threefry2x32-20,
+    # same reproducibility guarantees, ~2.5x faster on the VPU (no
+    # multiplies); "hw" = fastest native generator per backend; "hw16" = hw
+    # with 16-bit acceptance granularity.
     rng: str = "philox"
 
     # Iterations (reference -w / -n).
@@ -83,7 +84,7 @@ class SimConfig:
             raise ValueError("ncols must be a multiple of 8 (Philox quad draws)")
         if self.backend not in ("xla", "dense", "packed", "mxu"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.rng not in ("philox", "hw", "hw16"):
+        if self.rng not in ("philox", "threefry", "hw", "hw16"):
             raise ValueError(f"unknown rng mode {self.rng!r}")
         if self.backend == "packed":
             # Compact row must fill whole 8-spin words here; on compiled

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, color_draws, hw_draws
+from ..rng import TAG_SWEEP, color_draws, hw_draws, threefry_color_draws
 
 TILE = 128
 
@@ -134,6 +134,10 @@ class MxuBackend:
             draws = color_draws(self.cfg.seed, H, C, step=step,
                                 tag=TAG_SWEEP | color, row0=row0,
                                 row_stride=C)
+        elif self.cfg.rng == "threefry":
+            draws = threefry_color_draws(self.cfg.seed, H, C, step=step,
+                                         tag=TAG_SWEEP | color, row0=row0,
+                                         row_stride=C)
         else:
             draws = hw_draws(self.cfg.seed, H, C, step=step,
                              tag=TAG_SWEEP | color)

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, key_from_seed, mulhilo32, philox4x32
+from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, philox4x32,
+                   threefry2x32, threefry_stream_key)
 
 
 def unsigned_le(a, b):
@@ -90,6 +91,24 @@ def _philox_draws(params_ref, rows: int, cols: int, row_block: int,
     return jnp.concatenate(o, axis=-1)
 
 
+def _threefry_draws(params_ref, rows: int, cols: int, row_block: int,
+                    seed: int, tag: int):
+    """(rows, cols) uint32 draws, identical contract to
+    rng.threefry_color_draws (pair counter, stream-derived key)."""
+    i = pl.program_id(0)
+    row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
+    step = params_ref[1]
+    g = cols // 2
+    y = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 0) + row0
+    q = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 1)
+    hi, lo = mulhilo32(y, jnp.uint32(g))
+    c0 = lo + q
+    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    k0, k1 = threefry_stream_key(seed, step, tag)
+    o0, o1 = threefry2x32(c0, c1, k0, k1)
+    return jnp.concatenate([o0, o1], axis=-1)
+
+
 def _hw_draws(params_ref, rows: int, cols: int, seed: int, tag: int):
     """On-chip PRNG path: seed from (seed, tag, step, block)."""
     i = pl.program_id(0)
@@ -143,6 +162,8 @@ def _sweep_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     tag = TAG_SWEEP | color
     if rng_mode == "philox":
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag)
+    elif rng_mode == "threefry":
+        draws = _threefry_draws(params_ref, BY, C, BY, seed, tag)
     elif interp:
         # CPU interpreter lacks prng_seed; salted Philox substitute.
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag | 0x8000)

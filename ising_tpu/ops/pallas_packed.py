@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, key_from_seed, mulhilo32, philox4x32
+from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, philox4x32,
+                   threefry2x32, threefry_stream_key)
 from .pallas_dense import _block_rows_for, unsigned_le
 
 M1 = 0x11111111  # low bit of every 4-bit field
@@ -85,6 +86,23 @@ def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
     k0, k1 = key_from_seed(seed)
     o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1)
     return jnp.concatenate(o, axis=-1)
+
+
+def _threefry_draw_block(params_ref, rows: int, cols: int, row_block: int,
+                         seed: int, tag: int):
+    """(rows, cols) uint32 draws per rng.threefry_color_draws' contract."""
+    i = pl.program_id(0)
+    row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
+    step = params_ref[1]
+    g = cols // 2
+    y = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 0) + row0
+    q = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 1)
+    hi, lo = mulhilo32(y, jnp.uint32(g))
+    c0 = lo + q
+    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    k0, k1 = threefry_stream_key(seed, step, tag)
+    o0, o1 = threefry2x32(c0, c1, k0, k1)
+    return jnp.concatenate([o0, o1], axis=-1)
 
 
 def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
@@ -170,6 +188,8 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     # decision stays in 32-bit lanes. "hw16" only halves RNG generation.)
     if rng_mode == "philox":
         draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
+    elif rng_mode == "threefry":
+        draws = _threefry_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
     elif interp:
         # The CPU interpreter has no prng_seed; substitute a salted Philox
         # stream (hw modes carry no reproducibility contract anyway).

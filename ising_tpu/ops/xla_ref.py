@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, color_draws, hw_draws
+from ..rng import TAG_SWEEP, color_draws, hw_draws, threefry_color_draws
 
 
 def make_row_wrap_maps(nrows: int, ysl: int):
@@ -141,6 +141,10 @@ class XlaBackend:
         if self.cfg.rng == "philox":
             draws = color_draws(self.cfg.seed, H, C, step=step,
                                 tag=TAG_SWEEP | color, row0=row0, row_stride=C)
+        elif self.cfg.rng == "threefry":
+            draws = threefry_color_draws(self.cfg.seed, H, C, step=step,
+                                         tag=TAG_SWEEP | color, row0=row0,
+                                         row_stride=C)
         else:
             draws = hw_draws(self.cfg.seed, H, C, step=step,
                              tag=TAG_SWEEP | color)

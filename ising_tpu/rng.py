@@ -99,6 +99,71 @@ def philox4x32(c0, c1, c2, c3, k0, k1, rounds: int = PHILOX_ROUNDS):
     return c0, c1, c2, c3
 
 
+def rotl32(x, r: int):
+    x = _u32(x)
+    return (x << r) | (x >> (32 - r))
+
+
+THREEFRY_ROT_A = (13, 15, 26, 6)
+THREEFRY_ROT_B = (17, 29, 16, 24)
+
+
+def threefry2x32(c0, c1, k0, k1):
+    """Threefry2x32-20 (Salmon et al.): two uint32 draws per 64-bit counter.
+
+    The multiply-free counterpart of Philox — on the TPU VPU (which has no
+    vector mulhi32) this costs ~2.5x less than the emulated Philox, while
+    keeping the same counter-based guarantees. Matches jax's own
+    threefry_2x32 bit-for-bit (cross-validated in tests).
+    """
+    ks0 = _u32(k0)
+    ks1 = _u32(k1)
+    ks2 = ks0 ^ ks1 ^ _u32(0x1BD11BDA)
+    ks = (ks0, ks1, ks2)
+    x0 = _u32(c0) + ks0
+    x1 = _u32(c1) + ks1
+    for block in range(5):
+        rots = THREEFRY_ROT_A if block % 2 == 0 else THREEFRY_ROT_B
+        for r in rots:
+            x0 = x0 + x1
+            x1 = rotl32(x1, r)
+            x1 = x1 ^ x0
+        j = block + 1
+        x0 = x0 + ks[j % 3]
+        x1 = x1 + ks[(j + 1) % 3] + _u32(j)
+    return x0, x1
+
+
+def threefry_stream_key(seed: int, step, tag: int):
+    """Per-(step, tag) 64-bit key derived with one scalar Threefry call.
+
+    Keeps the 64-bit per-call counter purely spatial (quad index), with
+    stream separation done cryptographically in the key — the same
+    fold_in discipline jax.random uses.
+    """
+    k0, k1 = key_from_seed(seed)
+    return threefry2x32(_u32(step), _u32(tag), k0, k1)
+
+
+def threefry_color_draws(seed: int, nrows: int, ncols: int, *, step,
+                         tag: int, row0=0, row_stride: int | None = None):
+    """Per-site uint32 draws, threefry contract: one call covers a PAIR of
+    sites (col and col + ncols/2); draw(y, col) = output[col // g] of the
+    counter q = y*g + (col mod g), g = cols/2, under the stream key."""
+    if ncols % 2 != 0:
+        raise ValueError("compact width must be even")
+    g = ncols // 2
+    stride = (row_stride if row_stride is not None else ncols) // 2
+    y = jax.lax.broadcasted_iota(jnp.uint32, (nrows, g), 0) + _u32(row0)
+    q = jax.lax.broadcasted_iota(jnp.uint32, (nrows, g), 1)
+    hi, lo = mulhilo32(y, _u32(stride))
+    c0 = lo + q
+    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    k0, k1 = threefry_stream_key(seed, step, tag)
+    o0, o1 = threefry2x32(c0, c1, k0, k1)
+    return jnp.concatenate([o0, o1], axis=-1)
+
+
 def key_from_seed(seed: int):
     """Split a 64-bit seed into the (lo, hi) Philox key pair."""
     seed = int(seed)

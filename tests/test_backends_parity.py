@@ -160,3 +160,12 @@ def test_packed_sublattice_rejects_bad_geometry():
     with pytest.raises(ValueError):
         get_backend(SimConfig(nrows=16, ncols=64, backend="packed",
                               xsl=32, ysl=8))  # csl=16 > W=4
+
+
+@pytest.mark.parametrize("backend", ["dense", "packed", "mxu"])
+def test_threefry_mode_matches_xla(backend):
+    shape = (128, 256) if backend == "mxu" else (16, 64)
+    base = dict(nrows=shape[0], ncols=shape[1], temp=1.8, seed=515,
+                rng="threefry")
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend=backend, **base), nsteps=2)

@@ -92,3 +92,31 @@ def test_streams_distinct():
     # different seeds differ
     d = np.asarray(rng.color_draws(2, 16, 16, step=0, tag=0))
     assert not np.array_equal(a, d)
+
+
+def test_threefry_matches_jax():
+    """Our Threefry2x32-20 must match jax's own implementation bit-for-bit."""
+    from jax._src import prng as jprng
+    c0 = jnp.arange(16, dtype=jnp.uint32)
+    c1 = jnp.arange(16, dtype=jnp.uint32) * 7 + 3
+    o0, o1 = rng.threefry2x32(c0, c1, 111, 222)
+    ref = jprng.threefry_2x32(jnp.asarray([111, 222], jnp.uint32),
+                              jnp.concatenate([c0, c1]))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(ref[:16]))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(ref[16:]))
+
+
+def test_threefry_draws_sharding_invariance():
+    full = np.asarray(rng.threefry_color_draws(99, 8, 32, step=5, tag=0))
+    shard = np.asarray(rng.threefry_color_draws(99, 4, 32, step=5, tag=0,
+                                                row0=4, row_stride=32))
+    np.testing.assert_array_equal(shard, full[4:8])
+
+
+def test_threefry_stream_separation():
+    a = np.asarray(rng.threefry_color_draws(1, 8, 16, step=0, tag=0))
+    b = np.asarray(rng.threefry_color_draws(1, 8, 16, step=0, tag=1))
+    c = np.asarray(rng.threefry_color_draws(1, 8, 16, step=1, tag=0))
+    assert not np.array_equal(a, b) and not np.array_equal(a, c)
+    u = a / 2.0 ** 32
+    assert abs(u.mean() - 0.5) < 0.05
