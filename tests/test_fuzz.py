@@ -1,0 +1,53 @@
+"""Randomized cross-backend property test.
+
+Draws random (geometry, temperature, seed, feature) combinations and
+requires the packed backend to reproduce the xla backend bit-for-bit.
+Seeded, so failures are reproducible.
+"""
+
+import numpy as np
+import pytest
+
+from ising_tpu import SimConfig
+from ising_tpu.driver import Simulation
+
+
+def random_cases(n, master_seed=20260816):
+    rs = np.random.RandomState(master_seed)
+    cases = []
+    for _ in range(n):
+        nrows = 2 * int(rs.randint(2, 20))
+        ncols = 16 * int(rs.randint(1, 12))
+        temp = float(rs.choice([0.0, 0.8, 1.5, 2.269, 3.5, 8.0]))
+        seed = int(rs.randint(1, 2 ** 50))
+        kw = dict(nrows=nrows, ncols=ncols, temp=temp, seed=seed)
+        feature = rs.randint(0, 3)
+        if feature == 1:
+            kw["j_prob"] = float(rs.uniform(0, 1))
+        elif feature == 2:
+            # replica mode obeying the packed divisibility rules
+            w = ncols // 16
+            csls = [c for c in range(1, w + 1)
+                    if w % c == 0 and ncols % (2 * c) == 0]
+            ysls = [y for y in range(8, nrows + 1, 8) if nrows % y == 0]
+            if csls and ysls:
+                kw["xsl"] = 2 * int(rs.choice(csls))
+                kw["ysl"] = int(rs.choice(ysls))
+        cases.append(kw)
+    return cases
+
+
+@pytest.mark.parametrize("kw", random_cases(12))
+def test_packed_matches_xla_random(kw):
+    rngs = ["philox", "threefry"]
+    rng = rngs[kw["seed"] % 2]
+    s_x = Simulation(SimConfig(backend="xla", rng=rng, **kw))
+    s_p = Simulation(SimConfig(backend="packed", rng=rng, **kw))
+    s_x.advance(3)
+    s_p.advance(3)
+    bx, wx = s_x.bits()
+    bp, wp = s_p.bits()
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bp),
+                                  err_msg=f"case {kw} rng={rng}")
+    np.testing.assert_array_equal(np.asarray(wx), np.asarray(wp),
+                                  err_msg=f"case {kw} rng={rng}")
