@@ -91,9 +91,9 @@ def main(argv=None):
     sync((b, w))
 
     # Two step counts; the marginal slope removes fixed dispatch/sync
-    # overhead (~30-70 ms through the tunnel). Median of 3 for stability.
+    # overhead (~30-70 ms through the tunnel). Min of 5 (noise is additive).
     diffs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         b, w = step_n(b, w, thr, jnp.uint32(warm), steps)
         sync((b, w))

@@ -63,9 +63,10 @@ def _block_rows_for(nrows: int, width_words: int, rng_mode: str) -> int:
     modes keep ~6 stencil/draw intermediates (looser cap)."""
     if rng_mode == "philox":
         cap = (1 << 16) // max(1, width_words)
+        target = max(8, min(256, cap))
     else:
-        cap = (1 << 18) // max(1, width_words)
-    target = max(8, min(256, cap))
+        cap = (1 << 21) // max(1, width_words)
+        target = max(8, min(512, cap))
     return _pick_block_rows(nrows, target)
 
 
@@ -235,6 +236,8 @@ def dense_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
         out_shape=jax.ShapeDtypeStruct((H, C), jnp.uint8),
         input_output_aliases={2: 0},  # dst buffer reused for output
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(params, thr10, dst, src, ups, dns, *jargs)
 
 

@@ -344,6 +344,11 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint32),
         input_output_aliases={2: 0},
         interpret=interpret,
+        # v5e has 128 MB of physical VMEM; the default 16 MB scoped limit
+        # rejects the large-block schedules that measure fastest (BY=512
+        # needs ~50 MB for the draw and compare planes).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
