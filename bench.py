@@ -91,7 +91,7 @@ def main(argv=None):
     sync((b, w))
 
     # Two step counts; the marginal slope removes fixed dispatch/sync
-    # overhead (~30-70 ms through the tunnel). Min of 5 (noise is additive).
+    # overhead (~30-70 ms through the tunnel). Median of 5.
     diffs = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -105,10 +105,15 @@ def main(argv=None):
         t_large = time.perf_counter() - t0
         diffs.append(t_large - t_small)
 
-    # Tunnel noise is strictly additive; the smallest positive marginal is
-    # the best estimate of true device time.
-    positive = [d for d in diffs if d > 0] or diffs
-    elapsed = max(min(positive), 1e-9)
+    # Tunnel noise can inflate either measurement of a pair, so neither
+    # min nor mean is safe (min once reported an impossible >HBM-limit
+    # number when a stall inflated t_small). Median of 5 is robust; a
+    # physical sanity floor rejects estimates beyond the memory roofline.
+    positive = sorted(d for d in diffs if d > 0) or [max(diffs)]
+    elapsed = positive[len(positive) // 2]
+    # 1.5 bytes/spin-update lattice traffic at ~820 GB/s peak on v5e.
+    floor = cfg.nspins * steps * 1.5 / 850e9 if platform == "tpu" else 0.0
+    elapsed = max(elapsed, floor, 1e-9)
     flips = cfg.nspins * steps
     flips_ns = flips / (elapsed * 1e9)
     print(json.dumps({
