@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import BLACK
+from ..constants import BLACK, WHITE
 from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, philox4x32,
                    threefry2x32, threefry_stream_key)
 from .pallas_dense import _block_rows_for, unsigned_le
@@ -72,9 +72,9 @@ def pack_jplanes(jplanes):
 
 
 def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                       seed: int, tag: int):
+                       seed: int, tag: int, blk=None):
     """(rows, cols) uint32 draws, identical contract to rng.color_draws."""
-    i = pl.program_id(0)
+    i = pl.program_id(0) if blk is None else blk
     row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
     step = params_ref[1]
     nq = cols // 4
@@ -89,9 +89,9 @@ def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
 
 
 def _threefry_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                         seed: int, tag: int):
+                         seed: int, tag: int, blk=None):
     """(rows, cols) uint32 draws per rng.threefry_color_draws' contract."""
-    i = pl.program_id(0)
+    i = pl.program_id(0) if blk is None else blk
     row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
     step = params_ref[1]
     g = cols // 2
@@ -105,8 +105,9 @@ def _threefry_draw_block(params_ref, rows: int, cols: int, row_block: int,
     return jnp.concatenate([o0, o1], axis=-1)
 
 
-def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
-    i = pl.program_id(0)
+def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int,
+                   blk=None):
+    i = pl.program_id(0) if blk is None else blk
     s0 = jnp.uint32(seed & 0xFFFFFFFF) ^ (params_ref[1] * jnp.uint32(0x9E3779B9))
     s1 = (jnp.uint32(((seed >> 32) ^ tag) & 0xFFFFFFFF)
           + (params_ref[0] + i.astype(jnp.uint32)) * jnp.uint32(0x85EBCA6B))
@@ -114,19 +115,15 @@ def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int):
     return pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
 
 
-def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
-                   *rest, color: int, row_block: int, seed: int,
-                   rng_mode: str, disorder: bool, csl: int | None = None,
-                   interp: bool = False, greedy: bool = False):
-    out_ref = rest[-1]
-    BY = row_block
-    W = dst_ref.shape[1]
-    i = pl.program_id(0)
+def _metropolis_block(me, src, up_row, dn_row, params_ref, thr_ref, blk, *,
+                      color: int, BY: int, W: int, seed: int, rng_mode: str,
+                      interp: bool, greedy: bool, csl: int | None):
+    """One (BY, W) packed block's Metropolis half-sweep -> updated words.
 
-    me = dst_ref[...]
-    src = src_ref[...]
-    up_row = up_ref[pl.ds(i, 1), :]
-    dn_row = dn_ref[pl.ds(i, 1), :]
+    `blk` is the global row-block index (traced), used for the RNG counters'
+    row offset; `me` holds the dst color's words, `src` the opposite
+    color's, with up_row/dn_row the (1, W) rows above/below the block.
+    """
     up = jnp.concatenate([up_row, src[:-1]], axis=0)
     dn = jnp.concatenate([src[1:], dn_row], axis=0)
 
@@ -162,13 +159,13 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     else:
         off = jnp.where(odd, left, right)
 
-    if disorder:
-        jw = rest[0][...]
-        up = up ^ (jw & M1)
-        dn = dn ^ ((jw >> 1) & M1)
-        same = same ^ ((jw >> 2) & M1)
-        off = off ^ ((jw >> 3) & M1)
+    return _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk,
+                            color=color, BY=BY, W=W, seed=seed,
+                            rng_mode=rng_mode, interp=interp, greedy=greedy)
 
+
+def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
+                     color, BY, W, seed, rng_mode, interp, greedy):
     # Whole-word neighbor sum: every 4-bit field accumulates 0..4.
     nsum = up + dn + same + off
 
@@ -187,19 +184,21 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     # Mosaic target supports no 16-bit vector compares/shifts, so the
     # decision stays in 32-bit lanes. "hw16" only halves RNG generation.)
     if rng_mode == "philox":
-        draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
+        draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
+                                   blk=blk)
     elif rng_mode == "threefry":
-        draws = _threefry_draw_block(params_ref, BY, 8 * W, BY, seed, tag)
+        draws = _threefry_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
+                                     blk=blk)
     elif interp:
         # The CPU interpreter has no prng_seed; substitute a salted Philox
         # stream (hw modes carry no reproducibility contract anyway).
         cols = 4 * W if rng_mode == "hw16" else 8 * W
         draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
-                                   tag | 0x8000)
+                                   tag | 0x8000, blk=blk)
     elif rng_mode == "hw16":
-        draws = _hw_draw_block(params_ref, BY, 4 * W, seed, tag)
+        draws = _hw_draw_block(params_ref, BY, 4 * W, seed, tag, blk=blk)
     else:
-        draws = _hw_draw_block(params_ref, BY, 8 * W, seed, tag)
+        draws = _hw_draw_block(params_ref, BY, 8 * W, seed, tag, blk=blk)
 
     # SWAR class bits: one add+mask classifies all 8 fields at once
     # (e <= 4 so e + (8 - k) sets field bit 3 exactly when e >= k).
@@ -243,8 +242,7 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
             P8w = P8w | P8[:, z * W:(z + 1) * W]
         M1w = jnp.uint32(M1)
         flip = ((M1w & ~g3) | (g3 & ~g4 & P4w) | (g4 & P8w))
-        out_ref[...] = me ^ flip
-        return
+        return me ^ flip
 
     # greedy = T <= 0 quench semantics: the e == 2 class coin-flips on t0
     # instead of always accepting, needing a third select.
@@ -252,6 +250,7 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         ge2 = (e + jnp.uint32(0x66666666)) & M8
         t0b = (t0 ^ bias).astype(jnp.int32)
 
+    # tFULL guarantees acceptance for e < 2 even at T <= 0 (t0 < max).
     flip = jnp.zeros((BY, W), jnp.uint32)
     for z in range(8):
         # Shift the field's class bit to the sign position: one shift +
@@ -272,12 +271,210 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                                           >> 16).astype(jnp.int32)
         else:
             r = draws[:, z * W:(z + 1) * W]
-            acc = r <= tsel
+            acc = draws[:, z * W:(z + 1) * W] <= tsel
         # Select the pre-shifted constant rather than convert-then-shift:
         # Mosaic mis-executes (bool -> u32) << k on sub-128-lane shapes.
         flip = flip | jnp.where(acc, jnp.uint32(1 << (4 * z)), jnp.uint32(0))
 
-    out_ref[...] = me ^ flip
+    return me ^ flip
+
+
+def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
+                   *rest, color: int, row_block: int, seed: int,
+                   rng_mode: str, disorder: bool, csl: int | None = None,
+                   interp: bool = False, greedy: bool = False):
+    out_ref = rest[-1]
+    BY = row_block
+    W = dst_ref.shape[1]
+    i = pl.program_id(0)
+
+    me = dst_ref[...]
+    src = src_ref[...]
+    up_row = up_ref[pl.ds(i, 1), :]
+    dn_row = dn_ref[pl.ds(i, 1), :]
+
+    if disorder:
+        # J flags XOR into the neighbor words before the sums; routed here
+        # (not in _metropolis_block) so the neighbor construction stays
+        # shared. Fields: bit0=up, 1=dn, 2=same, 3=off.
+        up = jnp.concatenate([up_row, src[:-1]], axis=0)
+        dn = jnp.concatenate([src[1:], dn_row], axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BY, W), 1)
+        if csl is None:
+            wrapL = (src[:, W - 1:W] << 4) | (src[:, W - 1:W] >> 28)
+            left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
+            wrapR = (src[:, 0:1] >> 4) | (src[:, 0:1] << 28)
+            right = jnp.where(lane == W - 1, wrapR,
+                              pltpu.roll(src, W - 1, 1))
+        else:
+            left = jnp.where(lane % csl == 0,
+                             pltpu.roll(src, (W - csl + 1) % W, 1),
+                             pltpu.roll(src, 1, 1))
+            right = jnp.where(lane % csl == csl - 1,
+                              pltpu.roll(src, csl - 1, 1),
+                              pltpu.roll(src, W - 1, 1))
+        odd = (jax.lax.broadcasted_iota(jnp.int32, (BY, W), 0) % 2) == 1
+        same = src
+        if color == BLACK:
+            off = jnp.where(odd, right, left)
+        else:
+            off = jnp.where(odd, left, right)
+        jw = rest[0][...]
+        up = up ^ (jw & M1)
+        dn = dn ^ ((jw >> 1) & M1)
+        same = same ^ ((jw >> 2) & M1)
+        off = off ^ ((jw >> 3) & M1)
+        out_ref[...] = _accept_and_flip(
+            me, up, dn, same, off, params_ref, thr_ref, i, color=color,
+            BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
+            greedy=greedy)
+    else:
+        out_ref[...] = _metropolis_block(
+            me, src, up_row, dn_row, params_ref, thr_ref, i, color=color,
+            BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
+            greedy=greedy, csl=csl)
+
+
+def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
+                  wup_ref, wdn_ref, bout_ref, wout_ref,
+                  prev_black, first_black, prev_white, first_white,
+                  rowb1, prev_last,
+                  *, row_block: int, nblk: int, seed: int, rng_mode: str,
+                  interp: bool, greedy: bool):
+    """Both color phases of one MC step in a single kernel (ndev == 1).
+
+    Software pipeline with a one-block lag: grid step i computes black'
+    block i (for i < nblk) and white' block k, where k = i-1 for
+    2 <= i <= nblk-1, k = nblk-1 at i = nblk, and k = 0 at i = nblk+1
+    (the last two carry the periodic dependency on late black blocks).
+    White reads its own old bits and the black rows it needs from VMEM
+    scratch, so per-step HBM traffic drops from 6 planes to 4
+    (read B, read W once, write B', write W').
+    """
+    BY = row_block
+    nb = nblk
+    W = bin_ref.shape[1]
+    i = pl.program_id(0)
+
+    # ---- black phase: black' for block min(i, nb-1) (garbage at i >= nb,
+    # never stored or consumed there).
+    bi = jnp.minimum(i, nb - 1)
+    me_b = bin_ref[...]
+    src_w = wsrc_ref[...]
+    up_row = wup_ref[pl.ds(bi, 1), :]
+    dn_row = wdn_ref[pl.ds(bi, 1), :]
+    newb = _metropolis_block(me_b, src_w, up_row, dn_row, params_ref,
+                             thr_ref, bi, color=BLACK, BY=BY, W=W, seed=seed,
+                             rng_mode=rng_mode, interp=interp, greedy=greedy,
+                             csl=None)
+
+    @pl.when(i < nb)
+    def _():
+        bout_ref[...] = newb
+
+    # Snapshot scratches BEFORE this step's updates.
+    old_prev_black = prev_black[...]
+    old_prev_last = prev_last[...]
+    old_prev_white = prev_white[...]
+
+    # ---- white phase for block k.
+    k = jnp.where(i <= nb - 1, i - 1,
+                  jnp.where(i == nb, nb - 1, 0)).astype(jnp.int32)
+    last_step = i == nb + 1
+    me_w = jnp.where(last_step, first_white[...], old_prev_white)
+    body = jnp.where(last_step, first_black[...], old_prev_black)
+    top = jnp.where(last_step, old_prev_black[BY - 1:BY, :], old_prev_last)
+    bottom = jnp.where(i <= nb - 1, newb[0:1, :],
+                       jnp.where(i == nb, first_black[0:1, :],
+                                 rowb1[...]))
+    neww = _metropolis_block(me_w, body, top, bottom, params_ref, thr_ref,
+                             k, color=WHITE, BY=BY, W=W, seed=seed,
+                             rng_mode=rng_mode, interp=interp, greedy=greedy,
+                             csl=None)
+
+    @pl.when(i >= 2)
+    def _():
+        wout_ref[...] = neww
+
+    # ---- scratch updates (only while black blocks are produced).
+    @pl.when(i < nb)
+    def _():
+        prev_last[...] = old_prev_black[BY - 1:BY, :]
+        prev_black[...] = newb
+        prev_white[...] = src_w
+
+        @pl.when(i == 0)
+        def _():
+            first_black[...] = newb
+            first_white[...] = src_w
+
+        @pl.when(i == 1)
+        def _():
+            rowb1[...] = newb[0:1, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "seed", "rng_mode", "interpret", "greedy"))
+def packed_fused_step(black, white, thr10, row0, step, *, seed: int,
+                      rng_mode: str = "philox", interpret: bool = False,
+                      greedy: bool = False):
+    """One full MC step (both colors) in a single fused pallas_call."""
+    H, W = black.shape
+    BY = _block_rows_for(H, 4 * W, rng_mode)
+    nblk = H // BY
+    if nblk < 3:
+        raise ValueError("fused step needs at least 3 row blocks")
+
+    # Old-white halo rows for the black phase (periodic, single device).
+    ups = jnp.concatenate([white[-1:], white[BY - 1::BY][:-1]], axis=0)
+    dns = jnp.concatenate([white[BY::BY], white[:1]], axis=0)
+
+    params = jnp.stack([
+        row0 if hasattr(row0, "astype") else jnp.uint32(row0),
+        step if hasattr(step, "astype") else jnp.uint32(step),
+    ]).astype(jnp.uint32)
+
+    blk_b = lambda i: (jnp.minimum(i, nblk - 1), 0)
+    blk_w = lambda i: (jnp.where(i <= 2, 1,
+                                 jnp.where(i <= nblk - 1, i - 1,
+                                           jnp.where(i == nblk, nblk - 1,
+                                                     0))), 0)
+    whole = lambda i: (0, 0)
+
+    kernel = functools.partial(
+        _fused_kernel, row_block=BY, nblk=nblk, seed=seed,
+        rng_mode=rng_mode, interp=interpret, greedy=greedy)
+
+    new_black, new_white = pl.pallas_call(
+        kernel,
+        grid=(nblk + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # thr10
+            pl.BlockSpec((BY, W), blk_b, memory_space=pltpu.VMEM),     # black
+            pl.BlockSpec((BY, W), blk_b, memory_space=pltpu.VMEM),     # white
+            pl.BlockSpec((nblk, W), whole, memory_space=pltpu.VMEM),   # ups
+            pl.BlockSpec((nblk, W), whole, memory_space=pltpu.VMEM),   # dns
+        ],
+        out_specs=[
+            pl.BlockSpec((BY, W), blk_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BY, W), blk_w, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.uint32),
+                   jax.ShapeDtypeStruct((H, W), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((BY, W), jnp.uint32),   # prev_black
+            pltpu.VMEM((BY, W), jnp.uint32),   # first_black
+            pltpu.VMEM((BY, W), jnp.uint32),   # prev_white
+            pltpu.VMEM((BY, W), jnp.uint32),   # first_white
+            pltpu.VMEM((1, W), jnp.uint32),    # rowb1
+            pltpu.VMEM((1, W), jnp.uint32),    # prev_last
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(params, thr10, black, white, ups, dns)
+    return new_black, new_white
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -400,6 +597,33 @@ class PackedBackend:
 
     def decode(self, black_store, white_store):
         return unpack_bits(black_store), unpack_bits(white_store)
+
+    def fusable(self, nrows: int) -> bool:
+        """Whether the fused both-colors step applies (single device, no
+        replica/disorder modes, enough row blocks to pipeline).
+
+        OFF by default: although the fused kernel cuts HBM traffic from 6
+        to 4 planes/step and is verified bit-exact, its cross-grid-step
+        scratch dependencies serialize Mosaic's pipeline and it measures
+        ~40% SLOWER than two pipelined single-color calls (233 vs ~400
+        flips/ns at 16384^2). Kept as an opt-in experiment
+        (ISING_TPU_FUSED=1) and a round-2 scheduling project.
+        """
+        import os
+        if os.environ.get("ISING_TPU_FUSED") != "1":
+            return False
+        if self.cfg.ndev != 1 or self.cfg.xsl is not None \
+                or self.cfg.j_prob is not None:
+            return False
+        BY = _block_rows_for(nrows, 4 * (self.cfg.ncols // 16), self.cfg.rng)
+        return nrows // BY >= 3
+
+    def update_step(self, black, white, *, thr10, step):
+        """Fused both-colors MC step (4-plane HBM traffic instead of 6)."""
+        return packed_fused_step(black, white, thr10, jnp.uint32(0), step,
+                                 seed=self.cfg.seed, rng_mode=self.cfg.rng,
+                                 interpret=self.interpret,
+                                 greedy=self.greedy)
 
     def row_up_counts(self, black_store, white_store):
         """Popcount on packed words (reference getMagn_k analog) — no decode."""

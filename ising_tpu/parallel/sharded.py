@@ -45,7 +45,15 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
     """
     ndev = cfg.ndev
 
+    use_fused = (ndev == 1 and jplanes is None
+                 and hasattr(backend, "fusable")
+                 and backend.fusable(cfg.nrows))
+
     def shard_step(b, w, thr, step, jb, jw):
+        if use_fused:
+            # Single-device fast path: both color phases in one kernel
+            # (reads each color plane once per step).
+            return backend.update_step(b, w, thr10=thr, step=step)
         if ndev > 1:
             row0 = lax.axis_index(ROW_AXIS) * cfg.local_rows
         else:

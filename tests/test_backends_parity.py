@@ -169,3 +169,29 @@ def test_threefry_mode_matches_xla(backend):
                 rng="threefry")
     assert_same_trajectory(SimConfig(backend="xla", **base),
                            SimConfig(backend=backend, **base), nsteps=2)
+
+
+@pytest.mark.parametrize("rng", ["philox", "threefry"])
+def test_fused_step_matches_unfused(rng, monkeypatch):
+    monkeypatch.setenv("ISING_TPU_FUSED", "1")
+    """The fused both-colors kernel must reproduce the two-call path
+    bit-for-bit (same RNG contract, same halo semantics)."""
+    import jax.numpy as jnp
+    from ising_tpu.ops.pallas_packed import packed_fused_step
+    cfg = SimConfig(nrows=2048, ncols=64, temp=1.8, seed=777, backend="packed",
+                    rng=rng)
+    be = get_backend(cfg)
+    b, w = lattice.init_bits(cfg.seed, cfg.nrows, cfg.ncols)
+    pb, pw = be.encode(b, w)
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    assert be.fusable(cfg.nrows)
+
+    # unfused
+    ub = be.update_color(pb, pw, color=BLACK, thr10=thr, step=jnp.uint32(3),
+                         src_up=pw[-1:], src_dn=pw[:1])
+    uw = be.update_color(pw, ub, color=WHITE, thr10=thr, step=jnp.uint32(3),
+                         src_up=ub[-1:], src_dn=ub[:1])
+    # fused
+    fb, fw = be.update_step(pb, pw, thr10=thr, step=jnp.uint32(3))
+    np.testing.assert_array_equal(np.asarray(ub), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(uw), np.asarray(fw))
