@@ -46,5 +46,10 @@ def load_checkpoint(path: str):
         black = np.unpackbits(z["black"], axis=1)[:, :cols]
         white = np.unpackbits(z["white"], axis=1)[:, :cols]
         cfg = SimConfig.from_json(bytes(z["config"]).decode())
+        if rows != cfg.nrows or cols != cfg.ncols // 2:
+            raise ValueError(
+                f"checkpoint {path!r} is inconsistent: stored planes are "
+                f"{rows}x{cols} but the embedded config says "
+                f"{cfg.nrows}x{cfg.ncols // 2} (truncated or edited file?)")
         return (jnp.asarray(black), jnp.asarray(white),
                 int(z["step"]), float(z["temp"]), cfg)

@@ -59,9 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="xla",
                    choices=("xla", "dense", "packed", "mxu"),
                    help="update kernel backend")
-    p.add_argument("--rng", default="philox", choices=("philox", "threefry", "hw", "hw16"),
-                   help="philox/threefry = bit-reproducible everywhere "
-                        "(threefry is faster on TPU); hw = fastest native")
+    p.add_argument("--rng", default="threefry13",
+                   choices=("philox", "philox7", "threefry", "threefry13",
+                            "hw"),
+                   help="counter modes (philox[7], threefry[13]) are "
+                        "bit-reproducible everywhere; the reduced-round "
+                        "variants are the BigCrush-validated minima and "
+                        "faster; hw = fastest native, no contract")
     p.add_argument("--use-common-seed", action="store_true",
                    help="accepted for basic_python CLI parity; a no-op "
                         "because rng=philox already yields trajectories "

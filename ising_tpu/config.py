@@ -32,12 +32,14 @@ class SimConfig:
     # | "mxu" (matmul neighbor sum).
     backend: str = "xla"
 
-    # RNG mode: "philox" = counter-based Philox4x32-10, bit-reproducible
-    # across backends/shardings; "threefry" = counter-based Threefry2x32-20,
-    # same reproducibility guarantees, ~2.5x faster on the VPU (no
-    # multiplies); "hw" = fastest native generator per backend; "hw16" = hw
-    # with 16-bit acceptance granularity.
-    rng: str = "philox"
+    # RNG mode. Counter-based modes are bit-reproducible across backends,
+    # shardings and checkpoint/resume: "philox" / "philox7" =
+    # Philox4x32-10/-7, "threefry" / "threefry13" = Threefry2x32-20/-13
+    # (multiply-free, the fast family on the TPU VPU; the reduced-round
+    # variants are the BigCrush-validated minima of the Random123 paper —
+    # see rng.RNG_MODES). "hw" = fastest native generator per backend, no
+    # cross-backend contract. Default: the fastest reproducible mode.
+    rng: str = "threefry13"
 
     # Iterations (reference -w / -n).
     nwarmup: int = 0
@@ -84,8 +86,10 @@ class SimConfig:
             raise ValueError("ncols must be a multiple of 8 (Philox quad draws)")
         if self.backend not in ("xla", "dense", "packed", "mxu"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.rng not in ("philox", "threefry", "hw", "hw16"):
-            raise ValueError(f"unknown rng mode {self.rng!r}")
+        from .rng import RNG_MODES
+        if self.rng not in RNG_MODES:
+            raise ValueError(f"unknown rng mode {self.rng!r}; "
+                             f"one of {sorted(RNG_MODES)}")
         if self.backend == "packed":
             # Compact row must fill whole 8-spin words here; on compiled
             # TPU the backend additionally requires ncols % 2048 == 0

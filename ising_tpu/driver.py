@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SimConfig
-from .constants import BLACK, MIN_TEMP, WHITE
+from .constants import BLACK, MIN_TEMP, TGT_MAGN_MAX_DIFF, WHITE
 from . import io as lio
 from . import observables
 from .checkpoint import save_checkpoint
@@ -72,6 +72,7 @@ class Simulation:
             enc = getattr(self.backend, "encode_jplanes", lambda p: p)
             jplanes = (tuple(enc(jb)), tuple(enc(jw)))
 
+        self._jplanes = jplanes  # kept for stepper rebuilds (greedy switch)
         self.shardings, self._step_n = make_sharded_stepper(
             cfg, self.backend, mesh=mesh, jplanes=jplanes)
 
@@ -122,10 +123,16 @@ class Simulation:
     def set_temperature(self, temp: float):
         self.temp = float(temp)
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
-        if hasattr(self.backend, "greedy"):
+        if hasattr(self.backend, "greedy") and \
+                self.backend.greedy != (self.temp <= 0):
             # Crossing T = 0 switches the packed kernel's static accept
-            # variant (jit retraces on the flag change).
+            # variant. The cached jitted stepper captured the old flag at
+            # trace time (it is a static kernel argument, not a traced
+            # value), so the stepper must be rebuilt, not just retraced.
             self.backend.greedy = self.temp <= 0
+            self.shardings, self._step_n = make_sharded_stepper(
+                self.cfg, self.backend, mesh=self.shardings["mesh"],
+                jplanes=self._jplanes)
 
     # -- the full reference-style run -------------------------------------
 
@@ -175,7 +182,8 @@ class Simulation:
                 if cfg.dump_lattice:
                     self._dump(ev)
                 if cfg.tgt_magn is not None and \
-                        abs(mm["magnetization"] - cfg.tgt_magn) < 1.0e-3:
+                        abs(mm["magnetization"] - cfg.tgt_magn) \
+                        < TGT_MAGN_MAX_DIFF:
                     stopped_early = True
                     break
             if ev in temp_events:
@@ -223,7 +231,12 @@ class Simulation:
         b, w = self.bits()
         name = (f"lattice_{self.cfg.nrows}x{self.cfg.ncols}"
                 f"_T_{self.temp:f}_IT_{it:08d}.txt")
-        lio.dump_lattice(name, b, w, fmt="hex")
+        if self.cfg.ndev > 1:
+            # One file per row-slab shard, like the reference's per-GPU
+            # files (optimized/main.cu:1180) — no whole-lattice host gather.
+            lio.dump_lattice_sharded(name, b, w, fmt="hex")
+        else:
+            lio.dump_lattice(name, b, w, fmt="hex")
 
     def checkpoint(self, path: str):
         b, w = self.bits()

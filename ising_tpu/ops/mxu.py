@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, color_draws, hw_draws, threefry_color_draws
+from ..rng import TAG_SWEEP, counter_color_draws
 
 TILE = 128
 
@@ -117,6 +117,10 @@ class MxuBackend:
         if cfg.nrows % TILE or (cfg.ncols // 2) % TILE:
             raise ValueError(
                 "mxu backend needs nrows and ncols/2 multiples of 128")
+        if cfg.local_rows % TILE:
+            raise ValueError(
+                f"mxu backend needs the per-device slab height "
+                f"({cfg.local_rows} = nrows/ndev) to be a multiple of 128")
         self.cfg = cfg
 
     def encode(self, black_bits, white_bits):
@@ -130,17 +134,9 @@ class MxuBackend:
         assert jplanes is None
         H, C = dst.shape
         n = neighbor_counts(src, src_up, src_dn, color=color)
-        if self.cfg.rng == "philox":
-            draws = color_draws(self.cfg.seed, H, C, step=step,
-                                tag=TAG_SWEEP | color, row0=row0,
-                                row_stride=C)
-        elif self.cfg.rng == "threefry":
-            draws = threefry_color_draws(self.cfg.seed, H, C, step=step,
-                                         tag=TAG_SWEEP | color, row0=row0,
-                                         row_stride=C)
-        else:
-            draws = hw_draws(self.cfg.seed, H, C, step=step,
-                             tag=TAG_SWEEP | color)
+        draws = counter_color_draws(self.cfg.rng, self.cfg.seed, H, C,
+                                    step=step, tag=TAG_SWEEP | color,
+                                    row0=row0, row_stride=C)
         from .xla_ref import select_threshold
         thr = select_threshold(dst, n, thr10)
         accept = (draws <= thr).astype(jnp.uint8)

@@ -29,8 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, philox4x32,
-                   threefry2x32, threefry_stream_key)
+from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, parse_rng_mode,
+                   philox4x32, threefry2x32, threefry_stream_key)
 
 
 def unsigned_le(a, b):
@@ -61,7 +61,7 @@ def _block_rows_for(nrows: int, width_words: int, rng_mode: str) -> int:
     width_words is the widest per-row intermediate in 32-bit words. The
     philox path keeps ~7 live unrolled-round arrays (tight cap); the other
     modes keep ~6 stencil/draw intermediates (looser cap)."""
-    if rng_mode == "philox":
+    if parse_rng_mode(rng_mode)[0] == "philox":
         cap = (1 << 16) // max(1, width_words)
         target = max(8, min(256, cap))
     else:
@@ -71,7 +71,7 @@ def _block_rows_for(nrows: int, width_words: int, rng_mode: str) -> int:
 
 
 def _philox_draws(params_ref, rows: int, cols: int, row_block: int,
-                  seed: int, tag: int):
+                  seed: int, tag: int, rounds: int = 10):
     """(rows, cols) uint32 draws for this grid block, philox contract.
 
     Counter derivation is identical to rng.color_draws: quad index
@@ -88,12 +88,12 @@ def _philox_draws(params_ref, rows: int, cols: int, row_block: int,
     c0 = lo + q
     c1 = hi + (c0 < lo).astype(jnp.uint32)
     k0, k1 = key_from_seed(seed)
-    o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1)
+    o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1, rounds)
     return jnp.concatenate(o, axis=-1)
 
 
 def _threefry_draws(params_ref, rows: int, cols: int, row_block: int,
-                    seed: int, tag: int):
+                    seed: int, tag: int, rounds: int = 20):
     """(rows, cols) uint32 draws, identical contract to
     rng.threefry_color_draws (pair counter, stream-derived key)."""
     i = pl.program_id(0)
@@ -106,7 +106,7 @@ def _threefry_draws(params_ref, rows: int, cols: int, row_block: int,
     c0 = lo + q
     c1 = hi + (c0 < lo).astype(jnp.uint32)
     k0, k1 = threefry_stream_key(seed, step, tag)
-    o0, o1 = threefry2x32(c0, c1, k0, k1)
+    o0, o1 = threefry2x32(c0, c1, k0, k1, rounds)
     return jnp.concatenate([o0, o1], axis=-1)
 
 
@@ -161,10 +161,11 @@ def _sweep_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     idx = dst * 5 + nsum
 
     tag = TAG_SWEEP | color
-    if rng_mode == "philox":
-        draws = _philox_draws(params_ref, BY, C, BY, seed, tag)
-    elif rng_mode == "threefry":
-        draws = _threefry_draws(params_ref, BY, C, BY, seed, tag)
+    family, rounds = parse_rng_mode(rng_mode)
+    if family == "philox":
+        draws = _philox_draws(params_ref, BY, C, BY, seed, tag, rounds)
+    elif family == "threefry":
+        draws = _threefry_draws(params_ref, BY, C, BY, seed, tag, rounds)
     elif interp:
         # CPU interpreter lacks prng_seed; salted Philox substitute.
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag | 0x8000)
@@ -187,7 +188,8 @@ def dense_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
     H, C = dst.shape
     # Widest intermediates: (BY, C) int32 stencil arrays (and in philox
     # mode the unrolled-round quad arrays of width C/4).
-    BY = _block_rows_for(H, C // 4 if rng_mode == "philox" else C, rng_mode)
+    BY = _block_rows_for(
+        H, C // 4 if parse_rng_mode(rng_mode)[0] == "philox" else C, rng_mode)
     nblk = H // BY
 
     # Edge-row arrays: block i's missing halo rows. Row i of `ups` is the

@@ -38,8 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK, WHITE
-from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, philox4x32,
-                   threefry2x32, threefry_stream_key)
+from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, parse_rng_mode,
+                   philox4x32, threefry2x32, threefry_stream_key)
 from .pallas_dense import _block_rows_for, unsigned_le
 
 M1 = 0x11111111  # low bit of every 4-bit field
@@ -72,7 +72,7 @@ def pack_jplanes(jplanes):
 
 
 def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                       seed: int, tag: int, blk=None):
+                       seed: int, tag: int, blk=None, rounds: int = 10):
     """(rows, cols) uint32 draws, identical contract to rng.color_draws."""
     i = pl.program_id(0) if blk is None else blk
     row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
@@ -84,12 +84,12 @@ def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
     c0 = lo + q
     c1 = hi + (c0 < lo).astype(jnp.uint32)
     k0, k1 = key_from_seed(seed)
-    o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1)
+    o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1, rounds)
     return jnp.concatenate(o, axis=-1)
 
 
 def _threefry_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                         seed: int, tag: int, blk=None):
+                         seed: int, tag: int, blk=None, rounds: int = 20):
     """(rows, cols) uint32 draws per rng.threefry_color_draws' contract."""
     i = pl.program_id(0) if blk is None else blk
     row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
@@ -101,7 +101,7 @@ def _threefry_draw_block(params_ref, rows: int, cols: int, row_block: int,
     c0 = lo + q
     c1 = hi + (c0 < lo).astype(jnp.uint32)
     k0, k1 = threefry_stream_key(seed, step, tag)
-    o0, o1 = threefry2x32(c0, c1, k0, k1)
+    o0, o1 = threefry2x32(c0, c1, k0, k1, rounds)
     return jnp.concatenate([o0, o1], axis=-1)
 
 
@@ -182,21 +182,19 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
 
     # (A 16-bit two-spins-per-lane decision path was prototyped but v5e's
     # Mosaic target supports no 16-bit vector compares/shifts, so the
-    # decision stays in 32-bit lanes. "hw16" only halves RNG generation.)
-    if rng_mode == "philox":
+    # decision stays in 32-bit lanes.)
+    family, rounds = parse_rng_mode(rng_mode)
+    if family == "philox":
         draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
-                                   blk=blk)
-    elif rng_mode == "threefry":
+                                   blk=blk, rounds=rounds)
+    elif family == "threefry":
         draws = _threefry_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
-                                     blk=blk)
+                                     blk=blk, rounds=rounds)
     elif interp:
         # The CPU interpreter has no prng_seed; substitute a salted Philox
-        # stream (hw modes carry no reproducibility contract anyway).
-        cols = 4 * W if rng_mode == "hw16" else 8 * W
-        draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
+        # stream (hw mode carries no reproducibility contract anyway).
+        draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed,
                                    tag | 0x8000, blk=blk)
-    elif rng_mode == "hw16":
-        draws = _hw_draw_block(params_ref, BY, 4 * W, seed, tag, blk=blk)
     else:
         draws = _hw_draw_block(params_ref, BY, 8 * W, seed, tag, blk=blk)
 
@@ -213,10 +211,9 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
     tFb = jnp.int32(0x7FFFFFFF)              # 0xFFFFFFFF ^ bias: full accept
     t4b = (t4 ^ bias).astype(jnp.int32)
     t8b = (t8 ^ bias).astype(jnp.int32)
-    if rng_mode != "hw16":
-        draws = (draws ^ bias).astype(jnp.int32)
+    draws = (draws ^ bias).astype(jnp.int32)
 
-    if not greedy and rng_mode != "hw16":
+    if not greedy:
         # T > 0 plane-wise path: two whole-plane compares + word-mask
         # assembly, ~30% fewer vector ops than the per-field loop below.
         #   g3/g4: field low-bit = (e >= 3) / (e >= 4)
@@ -264,14 +261,7 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
         else:
             # T > 0: every e <= 2 class accepts unconditionally.
             tsel = jnp.where(is4, t8b, jnp.where(is3, t4b, tFb))
-        if rng_mode == "hw16":
-            half = draws[:, (z // 2) * W:(z // 2 + 1) * W]
-            r = (half >> (16 * (z & 1))) & jnp.uint32(0xFFFF)
-            acc = r.astype(jnp.int32) <= ((tsel.astype(jnp.uint32) ^ bias)
-                                          >> 16).astype(jnp.int32)
-        else:
-            r = draws[:, z * W:(z + 1) * W]
-            acc = draws[:, z * W:(z + 1) * W] <= tsel
+        acc = draws[:, z * W:(z + 1) * W] <= tsel
         # Select the pre-shifted constant rather than convert-then-shift:
         # Mosaic mis-executes (bool -> u32) << k on sub-128-lane shapes.
         flip = flip | jnp.where(acc, jnp.uint32(1 << (4 * z)), jnp.uint32(0))
@@ -491,7 +481,8 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
     # are always block-edge rows and ride the edge arrays below. Width cap:
     # the draws block is (BY, 8W) u32 in hw mode / quad arrays in philox.
     BY = _block_rows_for(min(H, ysl) if ysl else H,
-                         2 * W if rng_mode == "philox" else 4 * W, rng_mode)
+                         2 * W if parse_rng_mode(rng_mode)[0] == "philox"
+                         else 4 * W, rng_mode)
     nblk = H // BY
 
     if ysl:

@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, color_draws, hw_draws, threefry_color_draws
+from ..rng import TAG_SWEEP, counter_color_draws
 
 
 def make_row_wrap_maps(nrows: int, ysl: int):
@@ -138,16 +138,9 @@ class XlaBackend:
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
         H, C = dst.shape
-        if self.cfg.rng == "philox":
-            draws = color_draws(self.cfg.seed, H, C, step=step,
-                                tag=TAG_SWEEP | color, row0=row0, row_stride=C)
-        elif self.cfg.rng == "threefry":
-            draws = threefry_color_draws(self.cfg.seed, H, C, step=step,
-                                         tag=TAG_SWEEP | color, row0=row0,
-                                         row_stride=C)
-        else:
-            draws = hw_draws(self.cfg.seed, H, C, step=step,
-                             tag=TAG_SWEEP | color)
+        draws = counter_color_draws(self.cfg.rng, self.cfg.seed, H, C,
+                                    step=step, tag=TAG_SWEEP | color,
+                                    row0=row0, row_stride=C)
         return sweep_color(dst, src, color=color, thr10=thr10, draws=draws,
                            src_up=src_up, src_dn=src_dn, jplanes=jplanes,
                            **self._maps)

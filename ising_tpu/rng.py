@@ -55,6 +55,30 @@ TAG_SWEEP = 0x000
 TAG_INIT = 0x100
 TAG_HAMILT = 0x200
 
+# rng-mode string -> (family, rounds). The reduced-round variants are the
+# minimum round counts the Random123 paper (Salmon et al., SC'11, Table 2)
+# validates against the full BigCrush battery: Philox4x32 passes at 7
+# rounds, Threefry2x32 at 13 (the full-strength defaults keep the paper's
+# recommended safety margin of +3 / +7 rounds). All counter modes share the
+# same counter layout and reproducibility guarantees; fewer rounds only buy
+# speed. "hw" is the per-backend native generator (no portability contract).
+RNG_MODES = {
+    "philox": ("philox", 10),
+    "philox7": ("philox", 7),
+    "threefry": ("threefry", 20),
+    "threefry13": ("threefry", 13),
+    "hw": ("hw", 0),
+}
+
+
+def parse_rng_mode(mode: str):
+    """-> (family, rounds); raises on unknown modes."""
+    try:
+        return RNG_MODES[mode]
+    except KeyError:
+        raise ValueError(f"unknown rng mode {mode!r}; "
+                         f"one of {sorted(RNG_MODES)}") from None
+
 
 def _u32(x):
     return jnp.asarray(x, jnp.uint32)
@@ -108,13 +132,21 @@ THREEFRY_ROT_A = (13, 15, 26, 6)
 THREEFRY_ROT_B = (17, 29, 16, 24)
 
 
-def threefry2x32(c0, c1, k0, k1):
-    """Threefry2x32-20 (Salmon et al.): two uint32 draws per 64-bit counter.
+THREEFRY_ROUNDS = 20
+
+
+def threefry2x32(c0, c1, k0, k1, rounds: int = THREEFRY_ROUNDS):
+    """Threefry2x32-R (Salmon et al.): two uint32 draws per 64-bit counter.
 
     The multiply-free counterpart of Philox — on the TPU VPU (which has no
     vector mulhi32) this costs ~2.5x less than the emulated Philox, while
-    keeping the same counter-based guarantees. Matches jax's own
-    threefry_2x32 bit-for-bit (cross-validated in tests).
+    keeping the same counter-based guarantees. At rounds=20 it matches
+    jax's own threefry_2x32 bit-for-bit (cross-validated in tests).
+
+    Round structure follows Random123's threefry2x32 exactly: an initial
+    key injection, then `rounds` mix rounds with a further injection after
+    every completed group of four (so e.g. rounds=13 ends on a bare round,
+    as Random123's R=13 variant does).
     """
     ks0 = _u32(k0)
     ks1 = _u32(k1)
@@ -122,15 +154,15 @@ def threefry2x32(c0, c1, k0, k1):
     ks = (ks0, ks1, ks2)
     x0 = _u32(c0) + ks0
     x1 = _u32(c1) + ks1
-    for block in range(5):
-        rots = THREEFRY_ROT_A if block % 2 == 0 else THREEFRY_ROT_B
-        for r in rots:
-            x0 = x0 + x1
-            x1 = rotl32(x1, r)
-            x1 = x1 ^ x0
-        j = block + 1
-        x0 = x0 + ks[j % 3]
-        x1 = x1 + ks[(j + 1) % 3] + _u32(j)
+    rot = THREEFRY_ROT_A + THREEFRY_ROT_B
+    for r in range(rounds):
+        x0 = x0 + x1
+        x1 = rotl32(x1, rot[r % 8])
+        x1 = x1 ^ x0
+        if (r + 1) % 4 == 0:
+            j = (r + 1) // 4
+            x0 = x0 + ks[j % 3]
+            x1 = x1 + ks[(j + 1) % 3] + _u32(j)
     return x0, x1
 
 
@@ -139,14 +171,17 @@ def threefry_stream_key(seed: int, step, tag: int):
 
     Keeps the 64-bit per-call counter purely spatial (quad index), with
     stream separation done cryptographically in the key — the same
-    fold_in discipline jax.random uses.
+    fold_in discipline jax.random uses. Always full-strength (20 rounds):
+    it runs once per kernel call, so reduced-round modes gain nothing by
+    weakening the key derivation.
     """
     k0, k1 = key_from_seed(seed)
     return threefry2x32(_u32(step), _u32(tag), k0, k1)
 
 
 def threefry_color_draws(seed: int, nrows: int, ncols: int, *, step,
-                         tag: int, row0=0, row_stride: int | None = None):
+                         tag: int, row0=0, row_stride: int | None = None,
+                         rounds: int = THREEFRY_ROUNDS):
     """Per-site uint32 draws, threefry contract: one call covers a PAIR of
     sites (col and col + ncols/2); draw(y, col) = output[col // g] of the
     counter q = y*g + (col mod g), g = cols/2, under the stream key."""
@@ -160,7 +195,7 @@ def threefry_color_draws(seed: int, nrows: int, ncols: int, *, step,
     c0 = lo + q
     c1 = hi + (c0 < lo).astype(jnp.uint32)
     k0, k1 = threefry_stream_key(seed, step, tag)
-    o0, o1 = threefry2x32(c0, c1, k0, k1)
+    o0, o1 = threefry2x32(c0, c1, k0, k1, rounds)
     return jnp.concatenate([o0, o1], axis=-1)
 
 
@@ -191,7 +226,8 @@ def quad_counters(nrows: int, nquads: int, *, row0=0, quad0=0, row_stride: int |
 
 
 def color_draws(seed: int, nrows: int, ncols: int, *, step, tag: int,
-                row0=0, row_stride: int | None = None):
+                row0=0, row_stride: int | None = None,
+                rounds: int = PHILOX_ROUNDS):
     """Per-site uint32 draws for one color's compact (nrows, ncols) tile.
 
     `step` may be a traced uint32 scalar (loop carry). `tag` is static.
@@ -205,8 +241,23 @@ def color_draws(seed: int, nrows: int, ncols: int, *, step, tag: int,
     stride = (row_stride if row_stride is not None else ncols) // 4
     c0, c1 = quad_counters(nrows, nquads, row0=row0, row_stride=stride)
     k0, k1 = key_from_seed(seed)
-    o = philox4x32(c0, c1, _u32(step), _u32(tag), k0, k1)
+    o = philox4x32(c0, c1, _u32(step), _u32(tag), k0, k1, rounds)
     return jnp.concatenate(o, axis=-1)
+
+
+def counter_color_draws(mode: str, seed: int, nrows: int, ncols: int, *,
+                        step, tag: int, row0=0,
+                        row_stride: int | None = None):
+    """Mode-dispatched per-site draws for the non-Pallas backends."""
+    family, rounds = parse_rng_mode(mode)
+    if family == "philox":
+        return color_draws(seed, nrows, ncols, step=step, tag=tag, row0=row0,
+                           row_stride=row_stride, rounds=rounds)
+    if family == "threefry":
+        return threefry_color_draws(seed, nrows, ncols, step=step, tag=tag,
+                                    row0=row0, row_stride=row_stride,
+                                    rounds=rounds)
+    return hw_draws(seed, nrows, ncols, step=step, tag=tag)
 
 
 def hw_draws(seed: int, nrows: int, ncols: int, *, step, tag: int):

@@ -32,14 +32,47 @@ def philox4x32_ref(ctr, key, rounds=10):
     return c0, c1, c2, c3
 
 
-def site_draw(seed, row, col, ch, step, tag):
+THREEFRY_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+def threefry2x32_ref(c0, c1, k0, k1, rounds=20):
+    """Scalar Threefry2x32-R on Python ints (Random123 round structure)."""
+    ks0, ks1 = k0 & MASK, k1 & MASK
+    ks = (ks0, ks1, ks0 ^ ks1 ^ 0x1BD11BDA)
+    x0 = (c0 + ks0) & MASK
+    x1 = (c1 + ks1) & MASK
+    for r in range(rounds):
+        x0 = (x0 + x1) & MASK
+        rot = THREEFRY_ROT[r % 8]
+        x1 = ((x1 << rot) | (x1 >> (32 - rot))) & MASK
+        x1 ^= x0
+        if (r + 1) % 4 == 0:
+            j = (r + 1) // 4
+            x0 = (x0 + ks[j % 3]) & MASK
+            x1 = (x1 + ks[(j + 1) % 3] + j) & MASK
+    return x0, x1
+
+
+RNG_ROUNDS = {"philox": 10, "philox7": 7, "threefry": 20, "threefry13": 13}
+
+
+def site_draw(seed, row, col, ch, step, tag, mode="philox"):
     """Draw for compact site (row, col) of a plane with compact width ch."""
-    g = ch // 4
+    rounds = RNG_ROUNDS[mode]
+    if mode.startswith("philox"):
+        g = ch // 4
+        q = row * g + (col % g)
+        ctr = (q & MASK, (q >> 32) & MASK, step & MASK, tag & MASK)
+        key = (seed & MASK, (seed >> 32) & MASK)
+        return philox4x32_ref(ctr, key, rounds)[col // g]
+    # threefry family: 64-bit pair counter under a per-(step, tag) stream
+    # key (derived full-strength, matching rng.threefry_stream_key).
+    g = ch // 2
     q = row * g + (col % g)
-    slot = col // g
-    ctr = (q & MASK, (q >> 32) & MASK, step & MASK, tag & MASK)
-    key = (seed & MASK, (seed >> 32) & MASK)
-    return philox4x32_ref(ctr, key)[slot]
+    k0, k1 = threefry2x32_ref(step & MASK, tag & MASK,
+                              seed & MASK, (seed >> 32) & MASK, 20)
+    return threefry2x32_ref(q & MASK, (q >> 32) & MASK, k0, k1,
+                            rounds)[col // g]
 
 
 def full_compact_col(y, x):
@@ -54,7 +87,7 @@ def site_color(y, x):
 
 
 def naive_color_sweep(full_bits, color, thr10, seed, step, *,
-                      v=None, h=None, xsl=None, ysl=None):
+                      v=None, h=None, xsl=None, ysl=None, mode="philox"):
     """Update all sites of `color` in the full {0,1} bit lattice, in place
     semantics (returns a new array). Mirrors basic_cuda/main.cu:54-90 but on
     the full lattice, with optional disorder links and sub-lattice wrap."""
@@ -84,7 +117,8 @@ def naive_color_sweep(full_bits, color, thr10, seed, step, *,
                 br ^= int(h[y, x])    # link (y,x)-(y,xr)
             nsum = bu + bd + bl + br
             b = int(full_bits[y, x])
-            r = site_draw(seed, y, full_compact_col(y, x), ch, step, tag=color)
+            r = site_draw(seed, y, full_compact_col(y, x), ch, step,
+                          tag=color, mode=mode)
             if r <= int(thr10[b * 5 + nsum]):
                 out[y, x] = b ^ 1
     return out
@@ -95,6 +129,15 @@ def naive_step(full_bits, thr10, seed, step, **kw):
     full_bits = naive_color_sweep(full_bits, 0, thr10, seed, step, **kw)
     full_bits = naive_color_sweep(full_bits, 1, thr10, seed, step, **kw)
     return full_bits
+
+
+def naive_draw_plane(seed, rows, ch, step, tag, mode):
+    """(rows, ch) uint32 draw plane, any counter mode (for layout tests)."""
+    out = np.zeros((rows, ch), np.uint32)
+    for y in range(rows):
+        for c in range(ch):
+            out[y, c] = site_draw(seed, y, c, ch, step, tag, mode=mode)
+    return out
 
 
 def naive_init(seed, Y, X):

@@ -162,16 +162,17 @@ def test_packed_sublattice_rejects_bad_geometry():
                               xsl=32, ysl=8))  # csl=16 > W=4
 
 
+@pytest.mark.parametrize("rng", ["threefry", "threefry13", "philox7"])
 @pytest.mark.parametrize("backend", ["dense", "packed", "mxu"])
-def test_threefry_mode_matches_xla(backend):
+def test_rng_modes_match_xla(backend, rng):
     shape = (128, 256) if backend == "mxu" else (16, 64)
     base = dict(nrows=shape[0], ncols=shape[1], temp=1.8, seed=515,
-                rng="threefry")
+                rng=rng)
     assert_same_trajectory(SimConfig(backend="xla", **base),
                            SimConfig(backend=backend, **base), nsteps=2)
 
 
-@pytest.mark.parametrize("rng", ["philox", "threefry"])
+@pytest.mark.parametrize("rng", ["philox", "threefry13"])
 def test_fused_step_matches_unfused(rng, monkeypatch):
     monkeypatch.setenv("ISING_TPU_FUSED", "1")
     """The fused both-colors kernel must reproduce the two-call path

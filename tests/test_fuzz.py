@@ -39,8 +39,8 @@ def random_cases(n, master_seed=20260816):
 
 @pytest.mark.parametrize("kw", random_cases(12))
 def test_packed_matches_xla_random(kw):
-    rngs = ["philox", "threefry"]
-    rng = rngs[kw["seed"] % 2]
+    rngs = ["philox", "threefry", "philox7", "threefry13"]
+    rng = rngs[kw["seed"] % 4]
     s_x = Simulation(SimConfig(backend="xla", rng=rng, **kw))
     s_p = Simulation(SimConfig(backend="packed", rng=rng, **kw))
     s_x.advance(3)

@@ -39,7 +39,8 @@ def test_sharded_matches_single(ndev):
 
 def test_sharded_matches_naive():
     from naive_reference import naive_init, naive_step
-    cfg = SimConfig(nrows=8, ncols=16, temp=1.7, seed=42, backend="xla", ndev=4)
+    cfg = SimConfig(nrows=8, ncols=16, temp=1.7, seed=42, backend="xla",
+                    ndev=4, rng="philox")
     thr = ising.threshold_table(cfg.temperature)
     full = naive_init(cfg.seed, 8, 16)
     for step in range(3):
@@ -122,10 +123,10 @@ def test_sharded_replica_packed_matches_single():
 
 
 def test_hw_modes_smoke():
-    """hw/hw16 modes: not bit-reproducible, but must stay physical."""
+    """hw mode: not bit-reproducible, but must stay physical."""
     from ising_tpu.driver import Simulation
     from ising_tpu import observables
-    for rng in ("hw", "hw16"):
+    for rng in ("hw",):
         cfg = SimConfig(nrows=64, ncols=64, temp=1.0, seed=5,
                         backend="packed", rng=rng, niters=1)
         sim = Simulation(cfg)
@@ -136,3 +137,16 @@ def test_hw_modes_smoke():
         sim.advance(40)
         m = observables.magnetization(*sim.bits())
         assert m > 0.99, f"rng={rng}: ordered state melted ({m})"
+
+
+def test_initialize_multihost_passthrough(monkeypatch):
+    """initialize_multihost must forward its kwargs to jax.distributed
+    (the DCN multi-host hook; single-host CI can only verify the wiring)."""
+    import ising_tpu.parallel.mesh as mesh_mod
+    called = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.update(kw))
+    mesh_mod.initialize_multihost(coordinator_address="host:1234",
+                                  num_processes=2, process_id=0)
+    assert called == {"coordinator_address": "host:1234",
+                      "num_processes": 2, "process_id": 0}

@@ -120,3 +120,72 @@ def test_threefry_stream_separation():
     assert not np.array_equal(a, b) and not np.array_equal(a, c)
     u = a / 2.0 ** 32
     assert abs(u.mean() - 0.5) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Reduced-round counter modes (philox7 / threefry13, the BigCrush-validated
+# minima of the Random123 paper). KAT discipline: the library's vector
+# implementation must match the independent scalar implementation in
+# naive_reference.py at every supported round count.
+
+def test_threefry_rounds_match_scalar():
+    from naive_reference import threefry2x32_ref
+    c0 = jnp.arange(16, dtype=jnp.uint32) * 13 + 5
+    c1 = jnp.arange(16, dtype=jnp.uint32) * 3 + 1
+    for rounds in (13, 20):
+        o0, o1 = rng.threefry2x32(c0, c1, 111, 222, rounds)
+        for i in range(16):
+            ref = threefry2x32_ref(int(c0[i]), int(c1[i]), 111, 222, rounds)
+            assert (int(o0[i]), int(o1[i])) == ref, (rounds, i)
+
+
+def test_philox_rounds_match_scalar():
+    c0 = jnp.arange(16, dtype=jnp.uint32) * 7 + 2
+    for rounds in (7, 10):
+        outs = rng.philox4x32(c0, 3, 5, 9, 42, 77, rounds)
+        for i in range(16):
+            ref = philox4x32_ref((int(c0[i]), 3, 5, 9), (42, 77), rounds)
+            assert tuple(int(o[i]) for o in outs) == ref, (rounds, i)
+
+
+def test_reduced_rounds_are_distinct_streams():
+    a = np.asarray(rng.counter_color_draws("threefry", 1, 8, 16, step=0, tag=0))
+    b = np.asarray(rng.counter_color_draws("threefry13", 1, 8, 16, step=0, tag=0))
+    c = np.asarray(rng.counter_color_draws("philox", 1, 8, 16, step=0, tag=0))
+    d = np.asarray(rng.counter_color_draws("philox7", 1, 8, 16, step=0, tag=0))
+    assert not np.array_equal(a, b)
+    assert not np.array_equal(c, d)
+
+
+def test_counter_color_draws_dispatch():
+    full = np.asarray(rng.color_draws(9, 8, 16, step=2, tag=1, rounds=7))
+    got = np.asarray(rng.counter_color_draws("philox7", 9, 8, 16, step=2, tag=1))
+    np.testing.assert_array_equal(full, got)
+    full = np.asarray(rng.threefry_color_draws(9, 8, 16, step=2, tag=1,
+                                               rounds=13))
+    got = np.asarray(rng.counter_color_draws("threefry13", 9, 8, 16,
+                                             step=2, tag=1))
+    np.testing.assert_array_equal(full, got)
+
+
+def test_reduced_round_uniformity():
+    """philox7/threefry13 draws must still look uniform (coarse check; the
+    real statistical guarantee is the Random123 BigCrush validation)."""
+    for mode in ("philox7", "threefry13"):
+        d = np.asarray(rng.counter_color_draws(mode, 1234, 256, 256,
+                                               step=0, tag=0))
+        u = d / 2.0 ** 32
+        assert abs(u.mean() - 0.5) < 0.005, mode
+        assert abs(u.var() - 1.0 / 12.0) < 0.001, mode
+        bits = np.unpackbits(d.view(np.uint8))
+        assert abs(bits.mean() - 0.5) < 0.002, mode
+
+
+def test_reduced_round_sharding_invariance():
+    for mode in ("philox7", "threefry13"):
+        full = np.asarray(rng.counter_color_draws(mode, 99, 8, 32,
+                                                  step=5, tag=0))
+        shard = np.asarray(rng.counter_color_draws(mode, 99, 4, 32, step=5,
+                                                   tag=0, row0=4,
+                                                   row_stride=32))
+        np.testing.assert_array_equal(shard, full[4:8], err_msg=mode)

@@ -26,15 +26,18 @@ def run_backend_steps(cfg, nsteps, jplanes_b=None, jplanes_w=None):
     return be.decode(b, w)
 
 
+@pytest.mark.parametrize("rng", ["philox", "philox7", "threefry",
+                                 "threefry13"])
 @pytest.mark.parametrize("shape", [(8, 8), (6, 16), (4, 24)])
-def test_sweep_matches_naive(shape):
+def test_sweep_matches_naive(shape, rng):
     Y, X = shape
-    cfg = SimConfig(nrows=Y, ncols=X, temp=1.8, seed=777, backend="xla")
+    cfg = SimConfig(nrows=Y, ncols=X, temp=1.8, seed=777, backend="xla",
+                    rng=rng)
     thr = ising.threshold_table(cfg.temperature)
 
     full = naive_init(cfg.seed, Y, X)
     for step in range(3):
-        full = naive_step(full, thr, cfg.seed, step)
+        full = naive_step(full, thr, cfg.seed, step, mode=rng)
 
     b, w = run_backend_steps(cfg, 3)
     got = np.asarray(lattice.compact_to_full(b, w))
@@ -42,7 +45,8 @@ def test_sweep_matches_naive(shape):
 
 
 def test_sweep_matches_naive_near_critical():
-    cfg = SimConfig(nrows=8, ncols=16, temp=2.3, seed=31337, backend="xla")
+    cfg = SimConfig(nrows=8, ncols=16, temp=2.3, seed=31337, backend="xla",
+                    rng="philox")
     thr = ising.threshold_table(cfg.temperature)
     full = naive_init(cfg.seed, 8, 16)
     for step in range(5):
@@ -55,7 +59,7 @@ def test_sweep_matches_naive_near_critical():
 def test_sublattice_matches_naive():
     Y, X = 8, 16
     cfg = SimConfig(nrows=Y, ncols=X, temp=1.5, seed=5, backend="xla",
-                    xsl=8, ysl=4)
+                    xsl=8, ysl=4, rng="philox")
     thr = ising.threshold_table(cfg.temperature)
     full = naive_init(cfg.seed, Y, X)
     for step in range(3):
@@ -68,7 +72,7 @@ def test_sublattice_matches_naive():
 def test_disorder_matches_naive():
     Y, X = 8, 16
     cfg = SimConfig(nrows=Y, ncols=X, temp=1.2, seed=99, backend="xla",
-                    j_prob=0.4)
+                    j_prob=0.4, rng="philox")
     thr = ising.threshold_table(cfg.temperature)
     v, h = ising.generate_disorder_links(cfg.seed, Y, X, cfg.j_prob)
     vn, hn = np.asarray(v), np.asarray(h)
