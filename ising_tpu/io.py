@@ -82,3 +82,65 @@ def lattice_image(black, white) -> np.ndarray:
     """Full +-1 spin array for plotting (replaces the reference plotters'
     manual de-interleave, basic_python/plot_ising_multi.py:5-19)."""
     return np.asarray(bits_to_spins(compact_to_full(black, white)))
+
+
+# ----------------------------------------------------------------------------
+# Per-shard dump / stitching load.
+#
+# The reference writes one file per GPU (its row slab), OpenMP-parallel over
+# devices (optimized/main.cu:1140-1209 at :1180; basic_python writes
+# final_rank{k}.txt per MPI rank). Gathering a multi-device lattice into one
+# host array before writing hits a host-memory cliff at reference scale
+# (524288 x 65536 = 34 GB of bits); dumping each row-slab shard to its own
+# file keeps host memory at one slab and parallelizes the encoding.
+
+def _shard_path(path: str, k: int) -> str:
+    root, dot, ext = path.rpartition(".")
+    return f"{root}_shard{k:04d}.{ext}" if dot else f"{path}_shard{k:04d}"
+
+
+def _row_start(shard) -> int:
+    s = shard.index[0] if shard.index else slice(None)
+    return s.start or 0
+
+
+def dump_lattice_sharded(path: str, black, white, fmt: str = "hex"):
+    """Write one file per addressable row-slab shard; returns the paths.
+
+    black/white are compact bit planes (possibly sharded over the row axis).
+    Shard k (in row order) goes to `<path>_shard000k.<ext>`; each file is a
+    self-contained dump of its slab in the same format dump_lattice writes,
+    so existing tooling (plotters, load_lattice) works on individual shards.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    sb = sorted(black.addressable_shards, key=_row_start)
+    ws = {_row_start(s): s for s in white.addressable_shards}
+
+    def write_one(k_shard):
+        k, shard = k_shard
+        p = _shard_path(path, k)
+        dump_lattice(p, shard.data, ws[_row_start(shard)].data, fmt)
+        return p
+
+    # Encoding + file IO release the GIL (NumPy/native codec), so threads
+    # give real overlap — the analog of the reference's OpenMP loop.
+    with ThreadPoolExecutor(max_workers=min(8, len(sb))) as ex:
+        return list(ex.map(write_one, enumerate(sb)))
+
+
+def load_lattice_sharded(path: str, fmt: str = "hex"):
+    """Stitch `<path>_shard*.<ext>` files back into compact (black, white)."""
+    import glob
+    import re
+
+    root, dot, ext = path.rpartition(".")
+    pattern = f"{root}_shard*.{ext}" if dot else f"{path}_shard*"
+    paths = glob.glob(pattern)
+    if not paths:
+        raise FileNotFoundError(f"no shard files match {pattern!r}")
+    paths.sort(key=lambda p: int(re.search(r"_shard(\d+)", p).group(1)))
+    import jax.numpy as jnp
+    planes = [load_lattice(p, fmt) for p in paths]
+    return (jnp.concatenate([b for b, _ in planes], axis=0),
+            jnp.concatenate([w for _, w in planes], axis=0))

@@ -18,6 +18,8 @@ allreduce, basic_python/ising_basic.py:242-243).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,14 @@ from .lattice import bits_to_spins, compact_to_full
 
 # ----------------------------------------------------------------------------
 # Device-side exact partial reductions (jit-friendly).
+#
+# Scale note: everything here works on the compact (Y, X/2) uint8 planes in
+# the XOR domain (s1*s2 = 1 - 2*(b1^b2)), never materializing the full (Y, X)
+# int32 spin lattice — the reference's packed in-place reductions
+# (optimized/main.cu:702-734, 870-1070) have the same property. At the
+# reference's 65536^2-per-chip scale the old full-int32 formulation would
+# need ~17 GB; the compact uint8 formulation's largest intermediate is the
+# (Y, X/2) uint8 XOR plane, which XLA fuses into the row reduction.
 
 def row_up_counts(black, white):
     """Per-row count of up spins, uint32 (row width <= 2^20 always fits)."""
@@ -35,24 +45,59 @@ def row_up_counts(black, white):
             + jnp.sum(white.astype(jnp.uint32), axis=1))
 
 
+def _col_parity_planes(black, white):
+    """Compact color planes -> column-parity planes (E, O), uint8.
+
+    E[y, j] = bit at full-lattice site (y, 2j), O[y, j] = bit at (y, 2j+1)
+    (lattice.py storage convention: which color that is depends on the row
+    parity). Neighbor relations are parity-uniform in this basis, which is
+    what lets every reduction below stay in the compact domain.
+    """
+    nrows = black.shape[0]
+    row_odd = (jnp.arange(nrows) % 2).astype(bool)[:, None]
+    e = jnp.where(row_odd, white, black)
+    o = jnp.where(row_odd, black, white)
+    return e, o
+
+
+@jax.jit
 def energy_row_sums(black, white, v=None, h=None):
     """Per-row exact bond-energy sums, int32: sum_x (J_r s s_right + J_d s s_down).
 
     v/h are optional full-lattice antiferro link flags (J = 1 - 2*flag).
-    Counts each bond once (right + down neighbor of every site).
+    Counts each bond once (right + down neighbor of every site). Computed
+    as XOR counts on the compact planes: each row has ncols horizontal +
+    ncols vertical bonds, and sum(s_i s_j) = #bonds - 2 * #antialigned.
     """
-    s = bits_to_spins(compact_to_full(black, white)).astype(jnp.int32)
-    right = jnp.roll(s, -1, axis=1)
-    down = jnp.roll(s, -1, axis=0)
-    hb = s * right
-    vb = s * down
+    e, o = _col_parity_planes(black, white)
+    ncols = 2 * e.shape[1]
+    # Horizontal bonds (y,2j)-(y,2j+1) and (y,2j+1)-(y,2j+2 mod X).
+    hx1 = e ^ o
+    hx2 = o ^ jnp.roll(e, -1, axis=1)
+    # Vertical bonds (y,x)-(y+1 mod Y, x), split by column parity.
+    vx1 = e ^ jnp.roll(e, -1, axis=0)
+    vx2 = o ^ jnp.roll(o, -1, axis=0)
     if h is not None:
-        hb = hb * (1 - 2 * h.astype(jnp.int32))
+        hx1 = hx1 ^ h[:, 0::2]
+        hx2 = hx2 ^ h[:, 1::2]
     if v is not None:
-        vb = vb * (1 - 2 * v.astype(jnp.int32))
-    return jnp.sum(hb + vb, axis=1)
+        vx1 = vx1 ^ v[:, 0::2]
+        vx2 = vx2 ^ v[:, 1::2]
+    anti = jnp.sum((hx1 + hx2 + vx1 + vx2).astype(jnp.uint32), axis=1)
+    return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
 
 
+def _tile_roll(x, shift: int, tile: int, axis: int):
+    """Roll by `shift` *within* consecutive `tile`-sized groups along axis
+    (periodic wrap inside each sub-lattice replica), as a reshape + roll."""
+    if tile == x.shape[axis]:
+        return jnp.roll(x, -shift, axis=axis)
+    shp = x.shape
+    new = shp[:axis] + (shp[axis] // tile, tile) + shp[axis + 1:]
+    return jnp.roll(x.reshape(new), -shift, axis=axis + 1).reshape(shp)
+
+
+@functools.partial(jax.jit, static_argnames=("corr_len", "xsl", "ysl"))
 def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
                          xsl: int | None = None, ysl: int | None = None):
     """Exact per-(offset, row) correlation sums, int32 of shape (corr_len, Y).
@@ -61,25 +106,30 @@ def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
     in the full lattice, or wrapping inside xsl x ysl replica tiles when
     given (reference getCorr2DRepl_k, optimized/main.cu:967-1070).
     """
-    s = bits_to_spins(compact_to_full(black, white)).astype(jnp.int32)
-    Y, X = s.shape
-    if xsl is not None:
-        t = s.reshape(Y // ysl, ysl, X // xsl, xsl)
+    e, o = _col_parity_planes(black, white)
+    Y, ch = e.shape
+    ncols = 2 * ch
+    csl = (xsl // 2) if xsl is not None else ch
+    ytile = ysl if ysl is not None else Y
 
-        def one(d):
-            # Keep one exact partial per lattice row (always fits int32).
-            hcorr = jnp.sum(t * jnp.roll(t, -d, axis=3), axis=(2, 3))
-            vcorr = jnp.sum(t * jnp.roll(t, -d, axis=1), axis=(2, 3))
-            return (hcorr + vcorr).reshape(Y)  # (Y,)
-    else:
-        def one(d):
-            hcorr = jnp.sum(s * jnp.roll(s, -d, axis=1), axis=1)
-            vcorr = jnp.sum(s * jnp.roll(s, -d, axis=0), axis=1)
-            return hcorr + vcorr  # (Y,)
+    def one(d):
+        # Horizontal offset d: even d pairs same column parity, odd d
+        # crosses parity with a half-offset split (see lattice.py).
+        dh = d // 2
+        deven = (d % 2) == 0
+        if_even = lambda a, b: a if deven else b
+        hx1 = e ^ _tile_roll(if_even(e, o), if_even(dh, dh), csl, 1)
+        hx2 = o ^ _tile_roll(if_even(o, e), if_even(dh, dh + 1), csl, 1)
+        # Vertical offset d: always same column parity.
+        vx1 = e ^ _tile_roll(e, d, ytile, 0)
+        vx2 = o ^ _tile_roll(o, d, ytile, 0)
+        anti = jnp.sum((hx1 + hx2 + vx1 + vx2).astype(jnp.uint32), axis=1)
+        return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)  # (Y,)
 
-    # Sequential map, not vmap: batching the rolls would materialize a
-    # (corr_len, Y, X) intermediate — gigabytes at production lattice sizes.
-    return jax.lax.map(one, jnp.arange(1, corr_len + 1))
+    # Sequential map over offsets, not vmap: batching would materialize a
+    # (corr_len, Y, X/2) intermediate — gigabytes at production sizes. The
+    # offsets are static Python ints so the roll amounts stay constant.
+    return jnp.stack([one(d) for d in range(1, corr_len + 1)])
 
 
 # ----------------------------------------------------------------------------
@@ -133,14 +183,22 @@ def replica_magnetizations(black, white, xsl: int, ysl: int) -> np.ndarray:
 
     New capability beyond the reference (which only prints the global
     magnetization even in replica mode): per-replica statistics feed the
-    Binder-cumulant / susceptibility analysis in analysis.py.
+    Binder-cumulant / susceptibility analysis in analysis.py. Computed on
+    the compact planes (each xsl-wide replica holds xsl/2 columns of each
+    color plane); per-replica up-counts are exact uint32.
     """
-    from .lattice import bits_to_spins, compact_to_full
     if xsl * ysl >= 2 ** 31:
         raise ValueError("replica size too large for exact int32 sums")
-    s = bits_to_spins(compact_to_full(black, white)).astype(jnp.int32)
-    Y, X = s.shape
-    t = s.reshape(Y // ysl, ysl, X // xsl, xsl)
-    sums = jnp.sum(t, axis=(1, 3))  # per-replica spin sum, exact int32
-    m = np.abs(np.asarray(jax.device_get(sums), np.float64)) / (xsl * ysl)
-    return m.reshape(-1)
+    Y, ch = black.shape
+    csl = xsl // 2
+
+    @jax.jit
+    def tile_up_counts(b, w):
+        def one(p):
+            t = p.reshape(Y // ysl, ysl, ch // csl, csl)
+            return jnp.sum(t.astype(jnp.uint32), axis=(1, 3))
+        return one(b) + one(w)
+
+    n = xsl * ysl
+    ups = np.asarray(jax.device_get(tile_up_counts(black, white)), np.int64)
+    return (np.abs(2 * ups - n) / float(n)).reshape(-1)

@@ -1,0 +1,125 @@
+"""Compact-domain (scale-safe) observables vs the full-lattice formulation.
+
+The library computes energy / correlation / replica magnetization without
+ever materializing the full (Y, X) int32 spin lattice (which would be ~17 GB
+at the reference's 65536^2-per-chip scale). These tests pin the compact XOR
+formulation bit-for-bit to the straightforward full-lattice math.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ising_tpu import observables
+from ising_tpu.lattice import bits_to_spins, compact_to_full, full_to_compact
+
+
+def full_energy_rows(black, white, v=None, h=None):
+    s = bits_to_spins(compact_to_full(black, white)).astype(jnp.int32)
+    hb = s * jnp.roll(s, -1, axis=1)
+    vb = s * jnp.roll(s, -1, axis=0)
+    if h is not None:
+        hb = hb * (1 - 2 * h.astype(jnp.int32))
+    if v is not None:
+        vb = vb * (1 - 2 * v.astype(jnp.int32))
+    return jnp.sum(hb + vb, axis=1)
+
+
+def full_corr_rows(black, white, corr_len, xsl=None, ysl=None):
+    s = bits_to_spins(compact_to_full(black, white)).astype(jnp.int32)
+    Y, X = s.shape
+    out = []
+    for d in range(1, corr_len + 1):
+        if xsl is not None:
+            t = s.reshape(Y // ysl, ysl, X // xsl, xsl)
+            hcorr = jnp.sum(t * jnp.roll(t, -d, axis=3), axis=(2, 3))
+            vcorr = jnp.sum(t * jnp.roll(t, -d, axis=1), axis=(2, 3))
+            out.append((hcorr + vcorr).reshape(Y))
+        else:
+            hcorr = jnp.sum(s * jnp.roll(s, -d, axis=1), axis=1)
+            vcorr = jnp.sum(s * jnp.roll(s, -d, axis=0), axis=1)
+            out.append(hcorr + vcorr)
+    return jnp.stack(out)
+
+
+def random_planes(Y, X, seed):
+    rs = np.random.RandomState(seed)
+    full = rs.randint(0, 2, size=(Y, X)).astype(np.uint8)
+    return full_to_compact(jnp.asarray(full))
+
+
+@pytest.mark.parametrize("shape,seed", [((8, 16), 0), ((6, 24), 1),
+                                        ((16, 32), 2)])
+def test_energy_rows_match_full(shape, seed):
+    b, w = random_planes(*shape, seed)
+    np.testing.assert_array_equal(
+        np.asarray(observables.energy_row_sums(b, w)),
+        np.asarray(full_energy_rows(b, w)))
+
+
+def test_energy_rows_match_full_disorder():
+    Y, X = 8, 16
+    b, w = random_planes(Y, X, 3)
+    rs = np.random.RandomState(7)
+    v = jnp.asarray(rs.randint(0, 2, size=(Y, X)).astype(np.uint8))
+    h = jnp.asarray(rs.randint(0, 2, size=(Y, X)).astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(observables.energy_row_sums(b, w, v, h)),
+        np.asarray(full_energy_rows(b, w, v, h)))
+
+
+@pytest.mark.parametrize("shape,seed", [((8, 16), 0), ((12, 40), 4)])
+def test_corr_rows_match_full(shape, seed):
+    Y, X = shape
+    b, w = random_planes(Y, X, seed)
+    corr_len = min(Y, X) // 2
+    np.testing.assert_array_equal(
+        np.asarray(observables.correlation_row_sums(b, w, corr_len)),
+        np.asarray(full_corr_rows(b, w, corr_len)))
+
+
+def test_corr_rows_match_full_replica():
+    Y, X = 16, 32
+    b, w = random_planes(Y, X, 5)
+    for xsl, ysl in [(8, 4), (16, 8), (32, 16)]:
+        np.testing.assert_array_equal(
+            np.asarray(observables.correlation_row_sums(
+                b, w, 3, xsl=xsl, ysl=ysl)),
+            np.asarray(full_corr_rows(b, w, 3, xsl=xsl, ysl=ysl)),
+            err_msg=f"replica {xsl}x{ysl}")
+
+
+def test_replica_magnetizations_match_full():
+    Y, X = 16, 32
+    b, w = random_planes(Y, X, 6)
+    xsl, ysl = 8, 4
+    s = np.asarray(bits_to_spins(compact_to_full(b, w)), np.int64)
+    t = s.reshape(Y // ysl, ysl, X // xsl, xsl)
+    expect = np.abs(t.sum(axis=(1, 3))) / (xsl * ysl)
+    got = observables.replica_magnetizations(b, w, xsl, ysl)
+    np.testing.assert_allclose(got, expect.reshape(-1))
+
+
+def test_no_full_int32_materialization():
+    """The jaxpr of the compact energy/corr paths must contain no (Y, X)
+    int32-or-wider intermediate (the scale-safety property itself)."""
+    import jax
+    Y, X = 32, 64
+    b = jnp.zeros((Y, X // 2), jnp.uint8)
+    w = jnp.zeros((Y, X // 2), jnp.uint8)
+
+    def assert_no_wide_full(jaxpr):
+        for eqn in jaxpr.eqns:
+            for var in eqn.outvars:
+                shape = getattr(var.aval, "shape", ())
+                dtype = getattr(var.aval, "dtype", None)
+                if shape == (Y, X) and dtype is not None and \
+                        np.dtype(dtype).itemsize >= 4:
+                    raise AssertionError(
+                        f"full-lattice {dtype} intermediate: {eqn}")
+
+    assert_no_wide_full(
+        jax.make_jaxpr(lambda: observables.energy_row_sums(b, w))().jaxpr)
+    assert_no_wide_full(
+        jax.make_jaxpr(lambda: observables.correlation_row_sums(b, w, 4))()
+        .jaxpr)
