@@ -403,6 +403,211 @@ def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
             rowb1[...] = newb[0:1, :]
 
 
+def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
+                         wup_ref, wdn_ref, bout_hbm, wout_hbm,
+                         bbuf, wbuf, nbring, wobuf,
+                         first_black, first_white, row_b1, last_bm1,
+                         bin_sem, win_sem, bout_sem, wout_sem,
+                         *, row_block: int, nblk: int, seed: int,
+                         rng_mode: str, interp: bool, greedy: bool):
+    """Both color phases of one MC step, explicitly software-pipelined.
+
+    Round-1's fused kernel used BlockSpec windows plus cross-grid-step VMEM
+    scratch; the scratch dependencies serialized Mosaic's automatic pipeline
+    (233 vs ~400 flips/ns). This version owns the pipeline: lattice planes
+    stay in HBM (ANY memory space) and every block moves by explicit
+    double-buffered async DMA, so the step-i+1 input DMAs overlap step-i
+    compute by construction while HBM traffic stays at 4 planes/step
+    (read B, read W, write B', write W').
+
+    Schedule (grid step i): prefetch black/white blocks i+1; compute
+    black' i (i < nblk) from old-black me + old-white stencil; compute
+    white' k, k = i-1 for 1 <= i <= nblk-1, k = nblk-1 at i = nblk and
+    k = 0 at i = nblk+1 (the last two carry the periodic wrap via small
+    persistent row buffers, same dataflow as the verified v1 schedule).
+
+    VMEM rings: bbuf(2) old-black in, wbuf(3) old-white in (white phase k
+    reuses slot k as its own-color me one step later), nbring(3) new-black
+    blocks (white reads its neighbor rows from VMEM — never re-read from
+    HBM), wobuf(2) white' staging for DMA-out.
+    """
+    BY = row_block
+    nb = nblk
+    W = bbuf.shape[2]
+    i = pl.program_id(0)
+
+    def bin_dma(blk, slot):
+        return pltpu.make_async_copy(
+            bin_hbm.at[pl.ds(blk * BY, BY), :], bbuf.at[slot],
+            bin_sem.at[slot])
+
+    def win_dma(blk, slot):
+        return pltpu.make_async_copy(
+            win_hbm.at[pl.ds(blk * BY, BY), :], wbuf.at[slot],
+            win_sem.at[slot])
+
+    def bout_dma(blk, slot):
+        return pltpu.make_async_copy(
+            nbring.at[slot], bout_hbm.at[pl.ds(blk * BY, BY), :],
+            bout_sem.at[slot])
+
+    def wout_dma(blk, slot):
+        return pltpu.make_async_copy(
+            wobuf.at[slot], wout_hbm.at[pl.ds(blk * BY, BY), :],
+            wout_sem.at[slot])
+
+    # ---- prefetch: warm up at i == 0, then stay one block ahead.
+    @pl.when(i == 0)
+    def _():
+        bin_dma(0, 0).start()
+        win_dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        bin_dma(i + 1, (i + 1) % 2).start()
+        win_dma(i + 1, (i + 1) % 3).start()
+
+    # ---- black phase: black' block i.
+    @pl.when(i < nb)
+    def _():
+        # Reusing nbring slot i%3 requires its DMA-out (started at i-3) to
+        # have drained.
+        @pl.when(i >= 3)
+        def _():
+            bout_dma(i - 3, i % 3).wait()
+        bin_dma(i, i % 2).wait()
+        win_dma(i, i % 3).wait()
+        me_b = bbuf[i % 2]
+        src_w = wbuf[i % 3]
+        up_row = wup_ref[pl.ds(i, 1), :]
+        dn_row = wdn_ref[pl.ds(i, 1), :]
+        newb = _metropolis_block(
+            me_b, src_w, up_row, dn_row, params_ref, thr_ref, i,
+            color=BLACK, BY=BY, W=W, seed=seed, rng_mode=rng_mode,
+            interp=interp, greedy=greedy, csl=None)
+        nbring[i % 3] = newb
+        bout_dma(i, i % 3).start()
+
+        @pl.when(i == 0)
+        def _():
+            first_black[...] = newb
+            first_white[...] = src_w
+
+        @pl.when(i == 1)
+        def _():
+            row_b1[...] = newb[0:1, :]
+
+        @pl.when(i == nb - 1)
+        def _():
+            last_bm1[...] = newb[BY - 1:BY, :]
+
+    # ---- white phase: white' block k. Processing order 1..nb-2 (at grid
+    # steps 2..nb-1), then nb-1 (step nb), then 0 (step nb+1): the last two
+    # carry the periodic dependency on late black blocks.
+    @pl.when(i >= 2)
+    def _():
+        k = jnp.where(i <= nb - 1, i - 1,
+                      jnp.where(i == nb, nb - 1, 0)).astype(jnp.int32)
+        wrap = i == nb + 1  # white block 0, periodic dependencies
+        # Own-color me: old white block k (wbuf ring), or the saved block 0.
+        me_w = jnp.where(wrap, first_white[...], wbuf[k % 3])
+        # Opposite color = NEW black: body block k, top row from block k-1's
+        # last row, bottom row from block k+1's first row (all in VMEM).
+        body = jnp.where(wrap, first_black[...], nbring[k % 3])
+        top = jnp.where(wrap, last_bm1[...],
+                        nbring[(k - 1) % 3][BY - 1:BY, :])
+        bottom = jnp.where(i <= nb - 1, nbring[i % 3][0:1, :],
+                           jnp.where(i == nb, first_black[0:1, :],
+                                     row_b1[...]))
+        neww = _metropolis_block(
+            me_w, body, top, bottom, params_ref, thr_ref, k, color=WHITE,
+            BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
+            greedy=greedy, csl=None)
+
+        # Staging slot i % 2 was last used at step i - 2 for block i - 3.
+        @pl.when(i >= 4)
+        def _():
+            wout_dma(i - 3, i % 2).wait()
+        wobuf[i % 2] = neww
+        wout_dma(k, i % 2).start()
+
+    # ---- drain all outstanding DMA-outs on the last step.
+    @pl.when(i == nb + 1)
+    def _():
+        # Black blocks whose reuse-wait (at grid step blk + 3, only fired
+        # while blk + 3 <= nb - 1) never ran: the last min(3, nb) blocks.
+        for blk in range(max(0, nb - 3), nb):
+            bout_dma(blk, blk % 3).wait()
+        # White: steps nb (block nb-1, slot nb%2) and nb+1 (block 0,
+        # slot (nb+1)%2) are still in flight; earlier ones were drained by
+        # the i >= 4 reuse-waits.
+        wout_dma(nb - 1, nb % 2).wait()
+        wout_dma(0, (nb + 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "seed", "rng_mode", "interpret", "greedy", "block_rows"))
+def packed_fused_step_manual(black, white, thr10, row0, step, *, seed: int,
+                             rng_mode: str = "philox",
+                             interpret: bool = False, greedy: bool = False,
+                             block_rows: int | None = None):
+    """One full MC step (both colors), manually pipelined (see kernel)."""
+    H, W = black.shape
+    BY = block_rows or _block_rows_for(H, 4 * W, rng_mode)
+    nblk = H // BY
+    if nblk < 3:
+        raise ValueError("fused step needs at least 3 row blocks")
+
+    # Old-white halo rows for the black phase (periodic, single device).
+    ups = jnp.concatenate([white[-1:], white[BY - 1::BY][:-1]], axis=0)
+    dns = jnp.concatenate([white[BY::BY], white[:1]], axis=0)
+
+    params = jnp.stack([
+        row0 if hasattr(row0, "astype") else jnp.uint32(row0),
+        step if hasattr(step, "astype") else jnp.uint32(step),
+    ]).astype(jnp.uint32)
+
+    whole = lambda i: (0, 0)
+    kernel = functools.partial(
+        _fused_manual_kernel, row_block=BY, nblk=nblk, seed=seed,
+        rng_mode=rng_mode, interp=interpret, greedy=greedy)
+
+    new_black, new_white = pl.pallas_call(
+        kernel,
+        grid=(nblk + 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # thr10
+            pl.BlockSpec(memory_space=pl.ANY),                        # black
+            pl.BlockSpec(memory_space=pl.ANY),                        # white
+            pl.BlockSpec((nblk, W), whole, memory_space=pltpu.VMEM),  # ups
+            pl.BlockSpec((nblk, W), whole, memory_space=pltpu.VMEM),  # dns
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.uint32),
+                   jax.ShapeDtypeStruct((H, W), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, BY, W), jnp.uint32),   # bbuf (old black in)
+            pltpu.VMEM((3, BY, W), jnp.uint32),   # wbuf (old white in)
+            pltpu.VMEM((3, BY, W), jnp.uint32),   # nbring (new black)
+            pltpu.VMEM((2, BY, W), jnp.uint32),   # wobuf (white' staging)
+            pltpu.VMEM((BY, W), jnp.uint32),      # first_black
+            pltpu.VMEM((BY, W), jnp.uint32),      # first_white
+            pltpu.VMEM((1, W), jnp.uint32),       # row_b1
+            pltpu.VMEM((1, W), jnp.uint32),       # last_bm1
+            pltpu.SemaphoreType.DMA((2,)),        # bin_sem
+            pltpu.SemaphoreType.DMA((3,)),        # win_sem
+            pltpu.SemaphoreType.DMA((3,)),        # bout_sem
+            pltpu.SemaphoreType.DMA((2,)),        # wout_sem
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(params, thr10, black, white, ups, dns)
+    return new_black, new_white
+
+
 @functools.partial(jax.jit, static_argnames=(
     "seed", "rng_mode", "interpret", "greedy"))
 def packed_fused_step(black, white, thr10, row0, step, *, seed: int,
@@ -593,24 +798,41 @@ class PackedBackend:
         """Whether the fused both-colors step applies (single device, no
         replica/disorder modes, enough row blocks to pipeline).
 
-        OFF by default: although the fused kernel cuts HBM traffic from 6
-        to 4 planes/step and is verified bit-exact, its cross-grid-step
-        scratch dependencies serialize Mosaic's pipeline and it measures
-        ~40% SLOWER than two pipelined single-color calls (233 vs ~400
-        flips/ns at 16384^2). Kept as an opt-in experiment
-        (ISING_TPU_FUSED=1) and a round-2 scheduling project.
+        Two fused implementations exist, both bit-exact vs the two-call
+        path:
+          * ISING_TPU_FUSED=1 — v1, BlockSpec windows + cross-grid-step
+            VMEM scratch. Mosaic serializes its pipeline (~40% slower than
+            two calls at 16384^2); kept as the measured baseline.
+          * ISING_TPU_FUSED=2 — v2, explicit double-buffered DMA with the
+            planes in HBM (ANY memory space): 4-plane traffic AND overlap.
+        Selection stays env-gated until v2's TPU numbers are in; the
+        two-call path remains the default.
         """
         import os
-        if os.environ.get("ISING_TPU_FUSED") != "1":
+        mode = os.environ.get("ISING_TPU_FUSED")
+        if mode not in ("1", "2"):
             return False
         if self.cfg.ndev != 1 or self.cfg.xsl is not None \
                 or self.cfg.j_prob is not None:
             return False
-        BY = _block_rows_for(nrows, 4 * (self.cfg.ncols // 16), self.cfg.rng)
+        BY = self.fused_block_rows(nrows)
         return nrows // BY >= 3
+
+    def fused_block_rows(self, nrows: int) -> int:
+        import os
+        by = os.environ.get("ISING_TPU_FUSED_BY")
+        return int(by) if by else _block_rows_for(
+            nrows, 4 * (self.cfg.ncols // 16), self.cfg.rng)
 
     def update_step(self, black, white, *, thr10, step):
         """Fused both-colors MC step (4-plane HBM traffic instead of 6)."""
+        import os
+        if os.environ.get("ISING_TPU_FUSED") == "2":
+            return packed_fused_step_manual(
+                black, white, thr10, jnp.uint32(0), step,
+                seed=self.cfg.seed, rng_mode=self.cfg.rng,
+                interpret=self.interpret, greedy=self.greedy,
+                block_rows=self.fused_block_rows(black.shape[0]))
         return packed_fused_step(black, white, thr10, jnp.uint32(0), step,
                                  seed=self.cfg.seed, rng_mode=self.cfg.rng,
                                  interpret=self.interpret,

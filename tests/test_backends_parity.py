@@ -172,13 +172,14 @@ def test_rng_modes_match_xla(backend, rng):
                            SimConfig(backend=backend, **base), nsteps=2)
 
 
+@pytest.mark.parametrize("fused", ["1", "2"])
 @pytest.mark.parametrize("rng", ["philox", "threefry13"])
-def test_fused_step_matches_unfused(rng, monkeypatch):
-    monkeypatch.setenv("ISING_TPU_FUSED", "1")
-    """The fused both-colors kernel must reproduce the two-call path
-    bit-for-bit (same RNG contract, same halo semantics)."""
+def test_fused_step_matches_unfused(rng, fused, monkeypatch):
+    """Both fused both-colors kernels (v1 BlockSpec-pipelined, v2 manual
+    DMA) must reproduce the two-call path bit-for-bit (same RNG contract,
+    same halo semantics)."""
+    monkeypatch.setenv("ISING_TPU_FUSED", fused)
     import jax.numpy as jnp
-    from ising_tpu.ops.pallas_packed import packed_fused_step
     cfg = SimConfig(nrows=2048, ncols=64, temp=1.8, seed=777, backend="packed",
                     rng=rng)
     be = get_backend(cfg)
@@ -194,5 +195,30 @@ def test_fused_step_matches_unfused(rng, monkeypatch):
                          src_up=ub[-1:], src_dn=ub[:1])
     # fused
     fb, fw = be.update_step(pb, pw, thr10=thr, step=jnp.uint32(3))
+    np.testing.assert_array_equal(np.asarray(ub), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(uw), np.asarray(fw))
+
+
+@pytest.mark.parametrize("nrows,by", [(24, 8), (40, 8), (2048, 256)])
+def test_fused_manual_block_edge_cases(nrows, by, monkeypatch):
+    """v2 manual-DMA fused kernel at the minimum block count (3) and at
+    block counts exercising every ring-slot / drain alignment."""
+    monkeypatch.setenv("ISING_TPU_FUSED", "2")
+    monkeypatch.setenv("ISING_TPU_FUSED_BY", str(by))
+    import jax.numpy as jnp
+    from ising_tpu.constants import BLACK, WHITE
+    cfg = SimConfig(nrows=nrows, ncols=64, temp=1.8, seed=31,
+                    backend="packed", rng="threefry13")
+    be = get_backend(cfg)
+    b, w = lattice.init_bits(cfg.seed, cfg.nrows, cfg.ncols)
+    pb, pw = be.encode(b, w)
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    assert be.fusable(cfg.nrows)
+
+    ub = be.update_color(pb, pw, color=BLACK, thr10=thr, step=jnp.uint32(5),
+                         src_up=pw[-1:], src_dn=pw[:1])
+    uw = be.update_color(pw, ub, color=WHITE, thr10=thr, step=jnp.uint32(5),
+                         src_up=ub[-1:], src_dn=ub[:1])
+    fb, fw = be.update_step(pb, pw, thr10=thr, step=jnp.uint32(5))
     np.testing.assert_array_equal(np.asarray(ub), np.asarray(fb))
     np.testing.assert_array_equal(np.asarray(uw), np.asarray(fw))
