@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Y size of independent sub-lattice replicas")
     p.add_argument("-d", "--devs", type=int, default=1,
                    help="number of devices (row-slab sharding)")
+    p.add_argument("--halo-overlap", action="store_true",
+                   help="overlap the halo exchange with interior compute "
+                        "(ndev > 1; trajectories unchanged)")
     p.add_argument("-o", "--out", action="store_true",
                    help="dump lattice at each measurement and at the end")
     p.add_argument("-c", "--corr", action="store_true",
@@ -93,6 +96,7 @@ def config_from_args(args) -> SimConfig:
         print_freq=args.print_freq, print_exp=args.exppr,
         tgt_magn=args.tgt_magn, temp_step=temp_step, temp_freq=temp_freq,
         j_prob=args.j_prob, xsl=args.xsl, ysl=args.ysl, ndev=args.devs,
+        halo_overlap=args.halo_overlap,
         dump_lattice=args.out, corr_out=args.corr)
 
 
@@ -138,7 +142,10 @@ def main(argv=None) -> int:
     if cfg.dump_lattice:
         from . import io as lio
         name = f"final_{cfg.nrows}x{cfg.ncols}.txt"
-        lio.dump_lattice(name, *sim.bits(), fmt="hex")
+        if cfg.ndev > 1:
+            lio.dump_lattice_sharded(name, *sim.bits(), fmt="hex")
+        else:
+            lio.dump_lattice(name, *sim.bits(), fmt="hex")
         print(f"Wrote final lattice to {name}")
     if args.checkpoint:
         sim.checkpoint(args.checkpoint)

@@ -71,6 +71,11 @@ class SimConfig:
     # the TPU analog of the reference's per-GPU slabs, optimized/main.cu:1627).
     ndev: int = 1
 
+    # Split each sweep into interior + boundary bands so the ppermute halo
+    # exchange overlaps interior compute (ndev > 1 only; see
+    # parallel/sharded.py). Bit-identical trajectories either way.
+    halo_overlap: bool = False
+
     # Output toggles (reference -o / -c).
     dump_lattice: bool = False
     corr_out: bool = False

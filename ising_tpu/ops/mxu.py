@@ -1,24 +1,30 @@
-"""MXU backend ("mxu"): neighbor sums as banded bf16 matmuls.
+"""MXU backend ("mxu"): neighbor sums as banded bf16 matmuls, fused.
 
 TPU-native rebuild of the reference's tensor-core tier (tensorcore/main.cu):
-where the reference builds a banded K matrix (1s on the diagonal and first
-subdiagonal, set_k at tensorcore/main.cu:48-61) and computes neighbor sums
-as batched fp16 cublasGemmBatchedEx calls (:252-262) followed by an
-`add_boundaries` fix-up kernel (:148-226) and a Metropolis kernel (:88-146),
-here:
+the reference builds a banded K matrix (1s on the diagonal and first
+subdiagonal, set_k at tensorcore/main.cu:48-61), computes neighbor sums as
+batched fp16 cublasGemmBatchedEx calls (:252-262) into a nn_sums buffer,
+then runs an `add_boundaries` fix-up kernel (:148-226) and a Metropolis
+kernel (:88-146) — three HBM round-trips per color phase.
+
+Here the whole phase is ONE Pallas kernel per row block, everything in VMEM:
 
   * spins become +-1 bf16 on the compact plane; 128 is both the MXU tile
-    size and the block size (the reference's 128x128 sub-block geometry,
-    LATTICE_SUB_N at tensorcore/main.cu:38, is exactly the MXU tile);
-  * the vertical neighbor sum is one batched einsum with a (128,128)
-    K = sub+super-diagonal band over row blocks; the horizontal off-column
-    sum is two batched einsums with single-diagonal bands over column
-    blocks, selected by row parity;
-  * block-boundary rows/columns the band cannot see are added back with
-    two-row/two-column updates (the add_boundaries analog, but pure XLA);
+    size and the reference's sub-block geometry (LATTICE_SUB_N,
+    tensorcore/main.cu:38);
+  * vertical neighbor sum: one (BY, BY) band matmul per block (sub- +
+    super-diagonal), block-edge rows fixed from the halo/edge arrays;
+  * horizontal off-column sum: two (128, 128) band matmuls per column
+    block, block-edge lanes fixed with whole-plane rolls;
   * every product/sum is exact in bf16 (values in [-4, 4]), so the derived
     neighbor counts — and therefore whole trajectories — are bit-identical
-    to the xla/dense/packed backends under the shared Philox contract.
+    to the xla/dense/packed backends under the shared counter-RNG contract;
+  * the Metropolis epilogue (RNG draws + mirrored-count threshold select +
+    XOR flip) runs in the same kernel; random bits never touch HBM.
+
+Per-phase HBM traffic is read src + read dst + write dst (3 bytes/spin),
+same as the dense tier — the r01 version staged bf16 planes and nn_sums
+through HBM and ran 6x slower than dense for it.
 
 Like the reference's tensorcore tier, this backend supports neither quenched
 disorder nor sub-lattice replicas (tensorcore/main.cu has no -J/--xsl).
@@ -26,18 +32,24 @@ disorder nor sub-lattice replicas (tensorcore/main.cu has no -J/--xsl).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, counter_color_draws
+from ..rng import TAG_SWEEP, parse_rng_mode
+from .pallas_dense import (_hw_draws, _philox_draws, _threefry_draws,
+                           unsigned_le)
 
 TILE = 128
 
 
 def _band(n: int, offset: int) -> np.ndarray:
-    """(n, n) bf16 matrix with ones on the given diagonal."""
+    """(n, n) matrix with ones on the given diagonal."""
     m = np.zeros((n, n), np.float32)
     idx = np.arange(n - abs(offset))
     if offset >= 0:
@@ -47,63 +59,141 @@ def _band(n: int, offset: int) -> np.ndarray:
     return m
 
 
-def neighbor_counts(src, src_up, src_dn, *, color: int):
-    """Neighbor bit-count n in 0..4 for every dst-color site, via MXU.
+def _pick_block_rows_128(nrows: int, target: int = 256) -> int:
+    """Largest multiple-of-128 divisor of nrows <= target (else nrows)."""
+    best = nrows
+    for by in range(TILE, min(nrows, target) + 1, TILE):
+        if nrows % by == 0:
+            best = by
+    return best
 
-    src: (H, C) uint8 bits of the opposite color; src_up/src_dn: (1, C)
-    halo rows. H and C must be multiples of 128.
-    """
-    H, C = src.shape
-    s = (2.0 * src.astype(jnp.bfloat16) - 1.0)  # +-1 spins
 
-    kv = jnp.asarray(_band(TILE, 1) + _band(TILE, -1), jnp.bfloat16)
-    # In the "hbj,ji->hbi" orientation: out[i] = sum_j in[j] * k[j, i].
+def _mxu_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
+                kv_ref, kl_ref, kr_ref, out_ref, *, color: int,
+                row_block: int, seed: int, rng_mode: str, interp: bool):
+    BY = row_block
+    C = dst_ref.shape[1]
+    i = pl.program_id(0)
+
+    s = 2.0 * src_ref[...].astype(jnp.bfloat16) - 1.0  # +-1 spins
+
+    # Vertical: band matmul gives s[r-1] + s[r+1] inside the block; the
+    # block-edge rows come from the edge arrays (add_boundaries analog,
+    # tensorcore/main.cu:148-226, but fused — no extra kernel/HBM pass).
+    v = jnp.dot(kv_ref[...], s, preferred_element_type=jnp.bfloat16)
+    up_row = 2.0 * up_ref[pl.ds(i, 1), :].astype(jnp.bfloat16) - 1.0
+    dn_row = 2.0 * dn_ref[pl.ds(i, 1), :].astype(jnp.bfloat16) - 1.0
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (BY, C), 0)
+    v = jnp.where(row_id == 0, v + up_row, v)
+    v = jnp.where(row_id == BY - 1, v + dn_row, v)
+
+    # Horizontal: per 128-column block, band matmuls give the left/right
+    # compact neighbor; block-edge lanes are patched from whole-plane rolls
+    # (periodic across the row, the reference's super-block wrap).
+    kl = kl_ref[...]
+    kr = kr_ref[...]
+    parts_l = []
+    parts_r = []
+    for k in range(C // TILE):
+        blk = s[:, k * TILE:(k + 1) * TILE]
+        parts_l.append(jnp.dot(blk, kl, preferred_element_type=jnp.bfloat16))
+        parts_r.append(jnp.dot(blk, kr, preferred_element_type=jnp.bfloat16))
+    left = jnp.concatenate(parts_l, axis=1)
+    right = jnp.concatenate(parts_r, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BY, C), 1)
+    left = jnp.where(lane % TILE == 0, pltpu.roll(s, 1, 1), left)
+    right = jnp.where(lane % TILE == TILE - 1, pltpu.roll(s, C - 1, 1), right)
+
+    odd = (row_id % 2) == 1
+    off = jnp.where(odd, right, left) if color == BLACK \
+        else jnp.where(odd, left, right)
+
+    total = v + s + off  # sum of 4 neighbor spins, exact in bf16
+    n = ((total.astype(jnp.int32) + 4) >> 1)  # neighbor bit-count 0..4
+
+    # Shared integer accept: mirrored count e = b ? n : 4-n collapses the
+    # 2x5 table to three thresholds (same math as xla_ref.select_threshold).
+    dst = dst_ref[...].astype(jnp.int32)
+    e = jnp.where(dst == 1, n, 4 - n)
+    thr = jnp.where(e < 2, jnp.uint32(0xFFFFFFFF),
+                    jnp.where(e == 2, thr_ref[7],
+                              jnp.where(e == 3, thr_ref[8], thr_ref[9])))
+
+    tag = TAG_SWEEP | color
+    family, rounds = parse_rng_mode(rng_mode)
+    if family == "philox":
+        draws = _philox_draws(params_ref, BY, C, BY, seed, tag, rounds)
+    elif family == "threefry":
+        draws = _threefry_draws(params_ref, BY, C, BY, seed, tag, rounds)
+    elif interp:
+        draws = _philox_draws(params_ref, BY, C, BY, seed, tag | 0x8000)
+    else:
+        draws = _hw_draws(params_ref, BY, C, seed, tag)
+
+    accept = unsigned_le(draws, thr).astype(jnp.int32)
+    out_ref[...] = (dst ^ accept).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "color", "seed", "rng_mode", "interpret"))
+def mxu_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
+              seed: int, rng_mode: str = "philox", interpret: bool = False):
+    """One color half-sweep over the (H, C) plane, MXU neighbor sums."""
+    H, C = dst.shape
+    BY = _pick_block_rows_128(H)
+    nblk = H // BY
+
+    if nblk > 1:
+        ups = jnp.concatenate([src_up, src[BY - 1::BY][:-1]], axis=0)
+        dns = jnp.concatenate([src[BY::BY], src_dn], axis=0)
+    else:
+        ups, dns = src_up, src_dn
+    ups = ups.astype(jnp.int32)
+    dns = dns.astype(jnp.int32)
+
+    kv = jnp.asarray(_band(BY, 1) + _band(BY, -1), jnp.bfloat16)
     kl = jnp.asarray(_band(TILE, 1), jnp.bfloat16)   # out[i] = in[i-1]
     kr = jnp.asarray(_band(TILE, -1), jnp.bfloat16)  # out[i] = in[i+1]
 
-    # Vertical: per 128-row block, K @ block gives s[i-1] + s[i+1] with the
-    # block-edge rows missing; add them back from neighbor blocks / halos.
-    rb = s.reshape(H // TILE, TILE, C)
-    v = jnp.einsum("ij,bjc->bic", kv, rb,
-                   preferred_element_type=jnp.bfloat16)
-    up_rows = jnp.concatenate(
-        [2.0 * src_up.astype(jnp.bfloat16) - 1.0, s[TILE - 1::TILE][:-1]])
-    dn_rows = jnp.concatenate(
-        [s[TILE::TILE], 2.0 * src_dn.astype(jnp.bfloat16) - 1.0])
-    v = v.at[:, 0, :].add(up_rows)
-    v = v.at[:, TILE - 1, :].add(dn_rows)
-    v = v.reshape(H, C)
+    params = jnp.stack([row0.astype(jnp.uint32) if hasattr(row0, "astype")
+                        else jnp.uint32(row0),
+                        step.astype(jnp.uint32) if hasattr(step, "astype")
+                        else jnp.uint32(step)])
 
-    # Horizontal: per 128-column block, band products give the left/right
-    # compact neighbor; wrap columns across block edges afterwards.
-    cb = s.reshape(H, C // TILE, TILE)
-    left = jnp.einsum("hbj,ji->hbi", cb, kl,
-                      preferred_element_type=jnp.bfloat16)
-    right = jnp.einsum("hbj,ji->hbi", cb, kr,
-                       preferred_element_type=jnp.bfloat16)
-    lcols = jnp.concatenate([s[:, C - 1:C], s[:, TILE - 1::TILE][:, :-1]],
-                            axis=1)
-    rcols = jnp.concatenate([s[:, TILE::TILE], s[:, 0:1]], axis=1)
-    left = left.at[:, :, 0].add(lcols)
-    right = right.at[:, :, TILE - 1].add(rcols)
-    left = left.reshape(H, C)
-    right = right.reshape(H, C)
+    blk = lambda i: (i, 0)
+    whole = lambda i: (0, 0)
+    kernel = functools.partial(
+        _mxu_kernel, color=color, row_block=BY, seed=seed,
+        rng_mode=rng_mode, interp=interpret)
 
-    row_odd = (jnp.arange(H, dtype=jnp.int32) % 2 == 1)[:, None]
-    if color == BLACK:
-        off = jnp.where(row_odd, right, left)
-    else:
-        off = jnp.where(row_odd, left, right)
-
-    total = v + s + off  # sum of 4 neighbor spins, exact in bf16
-    return ((total.astype(jnp.int32) + 4) >> 1).astype(jnp.int32)  # n in 0..4
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # thr10
+            pl.BlockSpec((BY, C), blk, memory_space=pltpu.VMEM),      # dst
+            pl.BlockSpec((BY, C), blk, memory_space=pltpu.VMEM),      # src
+            pl.BlockSpec((nblk, C), whole, memory_space=pltpu.VMEM),  # ups
+            pl.BlockSpec((nblk, C), whole, memory_space=pltpu.VMEM),  # dns
+            pl.BlockSpec((BY, BY), whole, memory_space=pltpu.VMEM),   # kv
+            pl.BlockSpec((TILE, TILE), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BY, C), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, C), jnp.uint8),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(params, thr10, dst, src, ups, dns, kv, kl, kr)
 
 
 class MxuBackend:
-    """Backend adapter: bf16 matmul neighbor sums + shared integer accept."""
+    """Backend adapter: fused bf16-matmul neighbor sums + integer accept."""
 
     name = "mxu"
-    bytes_per_spin = 1.0  # uint8 storage (bf16 staging is transient)
+    bytes_per_spin = 1.0  # uint8 storage (bf16 staging lives in VMEM only)
 
     def __init__(self, cfg):
         if cfg.xsl is not None:
@@ -122,6 +212,7 @@ class MxuBackend:
                 f"mxu backend needs the per-device slab height "
                 f"({cfg.local_rows} = nrows/ndev) to be a multiple of 128")
         self.cfg = cfg
+        self.interpret = jax.default_backend() == "cpu"
 
     def encode(self, black_bits, white_bits):
         return black_bits, white_bits
@@ -132,12 +223,7 @@ class MxuBackend:
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
         assert jplanes is None
-        H, C = dst.shape
-        n = neighbor_counts(src, src_up, src_dn, color=color)
-        draws = counter_color_draws(self.cfg.rng, self.cfg.seed, H, C,
-                                    step=step, tag=TAG_SWEEP | color,
-                                    row0=row0, row_stride=C)
-        from .xla_ref import select_threshold
-        thr = select_threshold(dst, n, thr10)
-        accept = (draws <= thr).astype(jnp.uint8)
-        return dst ^ accept
+        return mxu_sweep(dst, src, src_up, src_dn, thr10,
+                         jnp.uint32(row0), step, color=color,
+                         seed=self.cfg.seed, rng_mode=self.cfg.rng,
+                         interpret=self.interpret)

@@ -49,6 +49,50 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
                  and hasattr(backend, "fusable")
                  and backend.fusable(cfg.nrows))
 
+    # Halo/compute overlap: split each sweep into an interior slab (no halo
+    # dependency) plus two BAND-row boundary bands that consume the
+    # ppermuted rows, so XLA's scheduler can hide the collective-permute
+    # behind the interior kernel. The reference's analog is its implicit
+    # P2P pull of neighbor boundary rows during the kernel
+    # (optimized/main.cu:1637-1642) — also latency-hidden, also pull-2-rows.
+    # Bands are 8 rows (sublane-aligned, keeps every kernel's local-parity
+    # and Mosaic full-tile assumptions; see PERF.md on sub-tile shapes).
+    BAND = 8
+    use_overlap = bool(getattr(cfg, "halo_overlap", False)) and ndev > 1
+    if use_overlap:
+        if cfg.local_rows < 4 * BAND:
+            raise ValueError("halo_overlap needs local slab >= 32 rows")
+        if cfg.xsl is not None:
+            raise ValueError("halo_overlap is not supported in replica "
+                             "mode (vertical wrap is sub-lattice-local)")
+        if backend.name == "mxu":
+            raise ValueError("halo_overlap unsupported for the mxu backend "
+                             "(interior slab breaks its 128-row tiling)")
+
+    def _slice_j(jp, a, b_end):
+        return None if jp is None else tuple(p[a:b_end] for p in jp)
+
+    def color_sweep_split(dst, src, halo_up, halo_dn, *, color, thr, step,
+                          row0, jp):
+        """Interior + two boundary bands; bit-identical to one full sweep
+        (RNG counters are global-row-indexed, so splitting is free)."""
+        H = dst.shape[0]
+        mid = backend.update_color(
+            dst[BAND:H - BAND], src[BAND:H - BAND], color=color, thr10=thr,
+            step=step, row0=row0 + BAND, src_up=src[BAND - 1:BAND],
+            src_dn=src[H - BAND:H - BAND + 1],
+            jplanes=_slice_j(jp, BAND, H - BAND))
+        top = backend.update_color(
+            dst[:BAND], src[:BAND], color=color, thr10=thr, step=step,
+            row0=row0, src_up=halo_up, src_dn=src[BAND:BAND + 1],
+            jplanes=_slice_j(jp, 0, BAND))
+        bot = backend.update_color(
+            dst[H - BAND:], src[H - BAND:], color=color, thr10=thr,
+            step=step, row0=row0 + H - BAND,
+            src_up=src[H - BAND - 1:H - BAND], src_dn=halo_dn,
+            jplanes=_slice_j(jp, H - BAND, H))
+        return jnp.concatenate([top, mid, bot], axis=0)
+
     def shard_step(b, w, thr, step, jb, jw):
         if use_fused:
             # Single-device fast path: both color phases in one kernel
@@ -60,14 +104,22 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
             row0 = 0
         w_up, w_dn = ring_halo_rows(w, ROW_AXIS) if ndev > 1 \
             else (w[-1:], w[:1])
-        b = backend.update_color(b, w, color=BLACK, thr10=thr, step=step,
-                                 row0=row0, src_up=w_up, src_dn=w_dn,
-                                 jplanes=jb)
+        if use_overlap:
+            b = color_sweep_split(b, w, w_up, w_dn, color=BLACK, thr=thr,
+                                  step=step, row0=row0, jp=jb)
+        else:
+            b = backend.update_color(b, w, color=BLACK, thr10=thr, step=step,
+                                     row0=row0, src_up=w_up, src_dn=w_dn,
+                                     jplanes=jb)
         b_up, b_dn = ring_halo_rows(b, ROW_AXIS) if ndev > 1 \
             else (b[-1:], b[:1])
-        w = backend.update_color(w, b, color=WHITE, thr10=thr, step=step,
-                                 row0=row0, src_up=b_up, src_dn=b_dn,
-                                 jplanes=jw)
+        if use_overlap:
+            w = color_sweep_split(w, b, b_up, b_dn, color=WHITE, thr=thr,
+                                  step=step, row0=row0, jp=jw)
+        else:
+            w = backend.update_color(w, b, color=WHITE, thr10=thr, step=step,
+                                     row0=row0, src_up=b_up, src_dn=b_dn,
+                                     jplanes=jw)
         return b, w
 
     def loop(b, w, thr, step0, n, jb, jw):

@@ -150,3 +150,34 @@ def test_initialize_multihost_passthrough(monkeypatch):
                                   num_processes=2, process_id=0)
     assert called == {"coordinator_address": "host:1234",
                       "num_processes": 2, "process_id": 0}
+
+
+@pytest.mark.parametrize("backend", ["xla", "packed"])
+def test_halo_overlap_matches_plain(backend):
+    """Interior/boundary split sweeps must be bit-identical to the plain
+    sharded path (halo exchange overlapped with interior compute)."""
+    base = dict(nrows=128, ncols=64, temp=1.9, seed=77, backend=backend,
+                ndev=4)
+    b1, w1 = run(SimConfig(halo_overlap=False, **base), 3)
+    b2, w2 = run(SimConfig(halo_overlap=True, **base), 3)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_halo_overlap_disorder_matches_plain():
+    from ising_tpu.driver import Simulation
+    base = dict(nrows=128, ncols=64, temp=1.4, seed=5, backend="xla",
+                j_prob=0.3, ndev=4, niters=2)
+    s1 = Simulation(SimConfig(halo_overlap=False, **base)); s1.advance(2)
+    s2 = Simulation(SimConfig(halo_overlap=True, **base)); s2.advance(2)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(s2.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(s1.bits()[1]),
+                                  np.asarray(s2.bits()[1]))
+
+
+def test_halo_overlap_validation():
+    with pytest.raises(ValueError):
+        make_sharded_stepper(
+            SimConfig(nrows=16, ncols=32, ndev=4, halo_overlap=True),
+            get_backend(SimConfig(nrows=16, ncols=32, ndev=4)))
