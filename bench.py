@@ -31,9 +31,11 @@ def pick_config(backend: str, platform: str):
     if platform == "cpu":
         return dict(nrows=1024, ncols=1024, steps=8, warm=2)
     if backend in ("packed",):
-        return dict(nrows=16384, ncols=16384, steps=64, warm=8)
+        # 192 steps ~ 120 ms per timing window: large against the tunnel's
+        # 30-70 ms dispatch/sync jitter, so the median slope is tight.
+        return dict(nrows=16384, ncols=16384, steps=192, warm=8)
     if backend in ("dense", "mxu"):
-        return dict(nrows=8192, ncols=8192, steps=32, warm=4)
+        return dict(nrows=8192, ncols=8192, steps=64, warm=4)
     return dict(nrows=4096, ncols=4096, steps=16, warm=2)
 
 

@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print magnetization every PRINT steps")
     p.add_argument("-e", "--exppr", action="store_true",
                    help="print on the exponential 2^(j/4) schedule")
+    p.add_argument("-E", "--exppr-ref", action="store_true",
+                   help="like -e but with the reference's exact >=2x "
+                        "thinning from step 152 (generate_times)")
     p.add_argument("-m", "--magn", dest="tgt_magn", type=float, default=None,
                    help="stop when |magnetization - MAGN| < 1e-3")
     p.add_argument("-u", "--update", metavar="STEP,FREQ", default=None,
@@ -93,7 +96,8 @@ def config_from_args(args) -> SimConfig:
         nrows=args.rows, ncols=args.cols, temp=args.temp, alpha=args.alpha,
         seed=args.seed, backend=args.backend, rng=args.rng,
         nwarmup=args.nwarmup, niters=args.nit,
-        print_freq=args.print_freq, print_exp=args.exppr,
+        print_freq=args.print_freq,
+        print_exp=args.exppr or args.exppr_ref, exp_thinned=args.exppr_ref,
         tgt_magn=args.tgt_magn, temp_step=temp_step, temp_freq=temp_freq,
         j_prob=args.j_prob, xsl=args.xsl, ysl=args.ysl, ndev=args.devs,
         halo_overlap=args.halo_overlap,

@@ -47,8 +47,11 @@ class SimConfig:
 
     # Measurement cadence: fixed every print_freq steps (reference -p) or the
     # exponential 2^(j/4) schedule (reference -e, optimized/main.cu:1211-1228).
+    # exp_thinned selects the reference's exact generate_times thinning
+    # (>=2x gaps from 152) instead of the denser every-distinct-value series.
     print_freq: int = 0
     print_exp: bool = False
+    exp_thinned: bool = False
 
     # Early exit when |magnetization - tgt_magn| < 1e-3 (reference -m).
     tgt_magn: float | None = None

@@ -34,9 +34,10 @@ def exponential_print_steps(nsteps: int) -> list[int]:
     """Measurement steps ~ distinct values of rint(2^(j/4)).
 
     The reference's generate_times additionally thins this to >=2x gaps
-    starting at 152 (optimized/main.cu:1211-1228), tuned for very long runs;
-    we keep every distinct value of the 2^(j/4) series, which matches the
-    documented intent and is useful at any run length.
+    starting at 152 (optimized/main.cu:1211-1228, reproduced exactly in
+    reference_exp_times below), tuned for very long runs; this denser
+    variant keeps every distinct value of the 2^(j/4) series, which matches
+    the documented intent and is useful at any run length.
     """
     out = []
     j = 0
@@ -48,6 +49,26 @@ def exponential_print_steps(nsteps: int) -> list[int]:
             out.append(t)
         j += 1
     return out
+
+
+def reference_exp_times(nsteps: int) -> list[int]:
+    """The reference's exact -e schedule (optimized/main.cu:1211-1228).
+
+    Starts at 152 (MIN_EXP_TIME) and appends the first rint(2^(j/4)) that
+    is >= 2x the previous entry, up to 200 entries (MAX_EXP_TIME), scanning
+    j while the last computed time is below nsteps — bit-faithful port of
+    generate_times including its append-past-nsteps edge case (callers
+    filter to <= nsteps).
+    """
+    times = [152]
+    t = 0
+    j = 0
+    while j < nsteps and t < nsteps:
+        t = int(round(2.0 ** (j / 4.0)))
+        if t >= 2 * times[-1] and len(times) < 200:
+            times.append(t)
+        j += 1
+    return times
 
 
 class Simulation:
@@ -146,7 +167,10 @@ class Simulation:
 
         # Build the measurement / temperature-event schedule.
         events = set()
-        if cfg.print_exp:
+        if cfg.print_exp and cfg.exp_thinned:
+            events.update(t for t in reference_exp_times(cfg.niters)
+                          if t <= cfg.niters)
+        elif cfg.print_exp:
             events.update(exponential_print_steps(cfg.niters))
         elif cfg.print_freq:
             events.update(range(cfg.print_freq, cfg.niters + 1,

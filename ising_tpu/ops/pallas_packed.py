@@ -211,33 +211,44 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
     tFb = jnp.int32(0x7FFFFFFF)              # 0xFFFFFFFF ^ bias: full accept
     t4b = (t4 ^ bias).astype(jnp.int32)
     t8b = (t8 ^ bias).astype(jnp.int32)
-    draws = (draws ^ bias).astype(jnp.int32)
+    if family == "hw" and not interp:
+        # The hw generator's raw bits are uniform and XOR-by-constant is a
+        # bijection on uniforms, so the raw bits can be read as
+        # already-biased draws — the whole-plane bias XOR is free. Only
+        # valid where no cross-backend bit contract fixes the draws.
+        draws = draws.astype(jnp.int32)
+    else:
+        draws = (draws ^ bias).astype(jnp.int32)
 
     if not greedy:
         # T > 0 plane-wise path: two whole-plane compares + word-mask
-        # assembly, ~30% fewer vector ops than the per-field loop below.
+        # assembly.
         #   g3/g4: field low-bit = (e >= 3) / (e >= 4)
-        #   P4w/P8w: field low-bit = (r <= t4) / (r <= t8), packed by
-        #     selecting a lane-structured weight plane (lane zW+j carries
-        #     1 << 4z) and OR-reducing the 8 aligned lane groups.
-        #   flip = always-accept (e < 3) | class-3 & P4w | class-4 & P8w.
+        #   Both compare results pack through ONE weight-plane select pass:
+        #     field value of P = cmp4 + 2*cmp8 in {0,1,3} (cmp8 implies
+        #     cmp4 since thr8 <= thr4), reduced over the 8 lane groups with
+        #     a single OR tree instead of two.
+        #   flip = always-accept (e < 3) | class-3 & cmp4 | class-4 & cmp8.
         g3 = (ge3 >> 3) & jnp.uint32(M1)
         g4 = (ge4 >> 3) & jnp.uint32(M1)
         # Built from scalar fills (pallas kernels cannot capture array
-        # constants): lane z*W+j carries weight 1 << 4z.
+        # constants): lane z*W+j carries weight 1 << 4z (and 2 << 4z).
         wvec = jnp.concatenate(
             [jnp.full((1, W), jnp.uint32(1 << (4 * z))) for z in range(8)],
             axis=1)
+        wvec2 = jnp.concatenate(
+            [jnp.full((1, W), jnp.uint32(2 << (4 * z))) for z in range(8)],
+            axis=1)
         cmp4 = draws <= t4b
         cmp8 = draws <= t8b
-        P4 = jnp.where(cmp4, wvec, jnp.uint32(0))
-        P8 = jnp.where(cmp8, wvec, jnp.uint32(0))
-        P4w = P4[:, 0:W]
-        P8w = P8[:, 0:W]
+        P = (jnp.where(cmp4, wvec, jnp.uint32(0))
+             | jnp.where(cmp8, wvec2, jnp.uint32(0)))
+        Pw = P[:, 0:W]
         for z in range(1, 8):
-            P4w = P4w | P4[:, z * W:(z + 1) * W]
-            P8w = P8w | P8[:, z * W:(z + 1) * W]
+            Pw = Pw | P[:, z * W:(z + 1) * W]
         M1w = jnp.uint32(M1)
+        P4w = Pw & M1w
+        P8w = (Pw >> 1) & M1w
         flip = ((M1w & ~g3) | (g3 & ~g4 & P4w) | (g4 & P8w))
         return me ^ flip
 
@@ -503,33 +514,43 @@ def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
 
     # ---- white phase: white' block k. Processing order 1..nb-2 (at grid
     # steps 2..nb-1), then nb-1 (step nb), then 0 (step nb+1): the last two
-    # carry the periodic dependency on late black blocks.
-    @pl.when(i >= 2)
+    # carry the periodic dependency on late black blocks. Split into two
+    # pl.when branches (only the taken branch executes on TPU) so the
+    # steady-state path pays no whole-block selects or untaken-path loads —
+    # a single whole-block select measured ~µs/step, enough to break the
+    # DMA/compute overlap budget.
+    # Staging slot i % 2 was last used at step i - 2 for block i - 3.
+    @pl.when(jnp.logical_and(i >= 4, i <= nb + 1))
     def _():
-        k = jnp.where(i <= nb - 1, i - 1,
-                      jnp.where(i == nb, nb - 1, 0)).astype(jnp.int32)
-        wrap = i == nb + 1  # white block 0, periodic dependencies
-        # Own-color me: old white block k (wbuf ring), or the saved block 0.
-        me_w = jnp.where(wrap, first_white[...], wbuf[k % 3])
+        wout_dma(i - 3, i % 2).wait()
+
+    @pl.when(jnp.logical_and(i >= 2, i <= nb))
+    def _():
+        k = jnp.minimum(i - 1, nb - 1)
+        me_w = wbuf[k % 3]
         # Opposite color = NEW black: body block k, top row from block k-1's
         # last row, bottom row from block k+1's first row (all in VMEM).
-        body = jnp.where(wrap, first_black[...], nbring[k % 3])
-        top = jnp.where(wrap, last_bm1[...],
-                        nbring[(k - 1) % 3][BY - 1:BY, :])
-        bottom = jnp.where(i <= nb - 1, nbring[i % 3][0:1, :],
-                           jnp.where(i == nb, first_black[0:1, :],
-                                     row_b1[...]))
+        body = nbring[k % 3]
+        top = nbring[(k - 1) % 3][BY - 1:BY, :]
+        bottom = jnp.where(i == nb, first_black[0:1, :],
+                           nbring[i % 3][0:1, :])
         neww = _metropolis_block(
             me_w, body, top, bottom, params_ref, thr_ref, k, color=WHITE,
             BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
             greedy=greedy, csl=None)
-
-        # Staging slot i % 2 was last used at step i - 2 for block i - 3.
-        @pl.when(i >= 4)
-        def _():
-            wout_dma(i - 3, i % 2).wait()
         wobuf[i % 2] = neww
         wout_dma(k, i % 2).start()
+
+    @pl.when(i == nb + 1)
+    def _():
+        # White block 0 last: periodic dependencies on the saved buffers.
+        neww = _metropolis_block(
+            first_white[...], first_black[...], last_bm1[...], row_b1[...],
+            params_ref, thr_ref, jnp.int32(0), color=WHITE, BY=BY, W=W,
+            seed=seed, rng_mode=rng_mode, interp=interp, greedy=greedy,
+            csl=None)
+        wobuf[i % 2] = neww
+        wout_dma(0, i % 2).start()
 
     # ---- drain all outstanding DMA-outs on the last step.
     @pl.when(i == nb + 1)

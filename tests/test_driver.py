@@ -179,3 +179,33 @@ def test_minimal_geometry():
     cfg = SimConfig(nrows=2, ncols=8, temp=2.0, seed=3, niters=4)
     res = Simulation(cfg).run(log=lambda *a: None)
     assert res["steps"] == 4
+
+
+def test_reference_exp_times():
+    """Exact semantics of the reference's generate_times
+    (optimized/main.cu:1211-1228): start 152, first rint(2^(j/4)) >= 2x
+    previous, scan while the last time is below nsteps."""
+    from ising_tpu.driver import reference_exp_times
+    ts = reference_exp_times(10000)
+    assert ts[0] == 152
+    for a, b in zip(ts, ts[1:]):
+        assert b >= 2 * a
+    # each entry (after the first) is the FIRST series value >= 2x previous
+    import math
+    for a, b in zip(ts, ts[1:]):
+        j = 0
+        while int(round(2.0 ** (j / 4.0))) < 2 * a:
+            j += 1
+        assert b == int(round(2.0 ** (j / 4.0)))
+    # append-past-nsteps edge case: last entry may exceed nsteps
+    short = reference_exp_times(300)
+    assert short[0] == 152 and short[-1] >= 300
+
+
+def test_exp_thinned_run(capsys):
+    from ising_tpu.driver import Simulation
+    cfg = SimConfig(nrows=16, ncols=16, temp=2.0, seed=1, backend="xla",
+                    niters=200, print_exp=True, exp_thinned=True)
+    out = Simulation(cfg).run(log=lambda s: None)
+    steps = [s for s, _ in out["series"]]
+    assert 152 in steps
