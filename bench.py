@@ -30,7 +30,7 @@ def pick_config(backend: str, platform: str):
     to stay fast on CPU CI runs."""
     if platform == "cpu":
         return dict(nrows=1024, ncols=1024, steps=8, warm=2)
-    if backend in ("packed",):
+    if backend in ("packed", "bit1"):
         # 192 steps ~ 120 ms per timing window: large against the tunnel's
         # 30-70 ms dispatch/sync jitter, so the median slope is tight.
         return dict(nrows=16384, ncols=16384, steps=192, warm=8)

@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-c", "--corr", action="store_true",
                    help="append 2-point correlation rows to a corr_* file")
     p.add_argument("--backend", default="xla",
-                   choices=("xla", "dense", "packed", "mxu"),
+                   choices=("xla", "dense", "packed", "bit1", "mxu"),
                    help="update kernel backend")
     p.add_argument("--rng", default="threefry13",
                    choices=("philox", "philox7", "threefry", "threefry13",

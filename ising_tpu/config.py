@@ -92,7 +92,7 @@ class SimConfig:
             raise ValueError("nrows must be even (row parity must be periodic)")
         if (self.ncols // 2) % 4:
             raise ValueError("ncols must be a multiple of 8 (Philox quad draws)")
-        if self.backend not in ("xla", "dense", "packed", "mxu"):
+        if self.backend not in ("xla", "dense", "packed", "bit1", "mxu"):
             raise ValueError(f"unknown backend {self.backend!r}")
         from .rng import RNG_MODES
         if self.rng not in RNG_MODES:
@@ -106,6 +106,9 @@ class SimConfig:
             # sizes run in interpreter mode / on CPU.
             if self.ncols % (2 * SPINS_PER_WORD):
                 raise ValueError("packed backend needs ncols multiple of 16")
+        if self.backend == "bit1" and self.ncols % 64:
+            raise ValueError("bit1 backend needs ncols multiple of 64 "
+                             "(32 spins per word per color)")
         if self.backend == "mxu" and self.ncols % 256:
             raise ValueError("mxu backend needs ncols multiple of 256")
         if self.nrows % self.ndev:

@@ -1,0 +1,268 @@
+"""Pallas TPU kernel, 1-bit tier (backend "bit1") — the speed flagship.
+
+Measured motivation (PERF.md round 2): the 4-bit packed kernel is purely
+HBM-bound on v5e — pure 3-stream word traffic costs 0.624 ms/step at
+16384^2 and the real kernel 0.670, i.e. ALL compute (stencil + RNG +
+acceptance) hides under the memory stream. The only remaining lever is
+traffic, so this tier stores ONE bit per spin (the information-theoretic
+minimum; the reference's densest layout is 4 bits/spin,
+optimized/main.cu:40) and computes the neighbor sums bit-sliced:
+
+  * storage: compact color plane (Y, C=X/2) -> (Y, W1=C/32) uint32, bit g
+    of word j = spin at compact column g*W1 + j (lane-concat groups, same
+    scheme as the 4-bit tier's fields so the off-column neighbor is a lane
+    roll + one group-boundary fix);
+  * neighbor sums: a 4-input bit-sliced adder network (11 bitwise ops per
+    32 spins) instead of whole-word 4-bit adds;
+  * acceptance classes: e = b ? n : 4-n evaluated directly as bit-plane
+    predicates (e>=3, e>=4, and e==2 for the greedy quench) — no field
+    masks, every bit is a spin;
+  * per-spin uint32 draws and the two threshold compares are identical to
+    the other backends (same counter contract, same plane slicing), so
+    counter-rng trajectories are bit-identical to xla/dense/packed/mxu;
+  * per color phase the HBM traffic is 3 x C/8 bytes/row: 6 bit-planes per
+    step = 0.375 bytes/spin-update vs the packed tier's 1.5.
+
+Feature scope mirrors a speed tier: no quenched disorder, no sub-lattice
+replicas (use "packed" for those); multi-device slab sharding and both
+fused paths are inherited from the shared stepper machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import BLACK
+from ..rng import TAG_SWEEP, parse_rng_mode
+from .pallas_dense import _block_rows_for
+from .pallas_packed import (_hw_draw_block, _philox_draw_block,
+                            _threefry_draw_block)
+
+SPW = 32  # spins per uint32 word
+
+
+def pack_bits1(bits):
+    """(Y, C) uint8 bit plane -> (Y, W1=C/32) uint32, bit g = col g*W1+j."""
+    Y, C = bits.shape
+    W1 = C // SPW
+    g = bits.reshape(Y, SPW, W1).astype(jnp.uint32)
+    out = jnp.zeros((Y, W1), jnp.uint32)
+    for z in range(SPW):
+        out = out | (g[:, z, :] << z)
+    return out
+
+
+def unpack_bits1(packed):
+    """(Y, W1) uint32 -> (Y, 32*W1) uint8 bit plane."""
+    Y, W1 = packed.shape
+    planes = [((packed >> z) & 1).astype(jnp.uint8) for z in range(SPW)]
+    return jnp.stack(planes, axis=1).reshape(Y, SPW * W1)
+
+
+def _neighbor_class_masks(me, up, dn, same, off):
+    """Bit-plane predicates (ge3, ge4, eq2) of the mirrored count
+    e = b ? n : 4 - n, from the 4-input bit-sliced adder n = n2 n1 n0."""
+    t0 = up ^ dn
+    c0 = up & dn
+    t1 = same ^ off
+    c1 = same & off
+    n0 = t0 ^ t1
+    c2 = t0 & t1
+    n1 = c0 ^ c1 ^ c2
+    n2 = (c0 & c1) | (c2 & (c0 ^ c1))  # n == 4 (majority of carries)
+    # e >= 3  <=>  b ? n >= 3 : n <= 1;   e >= 4  <=>  b ? n == 4 : n == 0
+    n_ge3 = n2 | (n1 & n0)
+    n_le1 = ~(n2 | n1)
+    n_eq0 = n_le1 & ~n0
+    ge3 = (me & n_ge3) | (~me & n_le1)
+    ge4 = (me & n2) | (~me & n_eq0)
+    # e == 2  <=>  n == 2 (4 - n == 2 likewise): n2=0, n1=1, n0=0
+    eq2 = ~n2 & n1 & ~n0
+    return ge3, ge4, eq2
+
+
+def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
+                 out_ref, *, color: int, row_block: int, seed: int,
+                 rng_mode: str, interp: bool, greedy: bool):
+    BY = row_block
+    W1 = dst_ref.shape[1]
+    C = SPW * W1
+    i = pl.program_id(0)
+
+    me = dst_ref[...]
+    src = src_ref[...]
+    up_row = up_ref[pl.ds(i, 1), :]
+    dn_row = dn_ref[pl.ds(i, 1), :]
+    up = jnp.concatenate([up_row, src[:-1]], axis=0)
+    dn = jnp.concatenate([src[1:], dn_row], axis=0)
+
+    # Off-column neighbors: compact col g*W1 + j; col-1 is lane j-1 of the
+    # same bit except at j == 0, where it wraps to lane W1-1 one bit down
+    # (and bit 0 lane 0 wraps to bit 31 lane W1-1). Mirror for col+1.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BY, W1), 1)
+    last = src[:, W1 - 1:W1]
+    wrapL = (last << 1) | (last >> 31)
+    left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
+    first = src[:, 0:1]
+    wrapR = (first >> 1) | (first << 31)
+    right = jnp.where(lane == W1 - 1, wrapR, pltpu.roll(src, W1 - 1, 1))
+    odd = (jax.lax.broadcasted_iota(jnp.int32, (BY, W1), 0) % 2) == 1
+    off = jnp.where(odd, right, left) if color == BLACK \
+        else jnp.where(odd, left, right)
+
+    ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, src, off)
+
+    # Per-spin draws: same counter contract and column order as every other
+    # backend (draw column c of the (BY, C) block = compact col c; the
+    # lane-group slice g*W1..(g+1)*W1 is exactly bit-group g's columns).
+    tag = TAG_SWEEP | color
+    family, rounds = parse_rng_mode(rng_mode)
+    if family == "philox":
+        draws = _philox_draw_block(params_ref, BY, C, BY, seed, tag,
+                                   blk=i, rounds=rounds)
+    elif family == "threefry":
+        draws = _threefry_draw_block(params_ref, BY, C, BY, seed, tag,
+                                     blk=i, rounds=rounds)
+    elif interp:
+        draws = _philox_draw_block(params_ref, BY, C, BY, seed,
+                                   tag | 0x8000, blk=i)
+    else:
+        draws = _hw_draw_block(params_ref, BY, C, seed, tag, blk=i)
+
+    bias = jnp.uint32(0x80000000)
+    t4b = (thr_ref[8] ^ bias).astype(jnp.int32)
+    t8b = (thr_ref[9] ^ bias).astype(jnp.int32)
+    if family == "hw" and not interp:
+        draws = draws.astype(jnp.int32)  # raw uniform bits, pre-biased view
+    else:
+        draws = (draws ^ bias).astype(jnp.int32)
+
+    # Pack the compare results into bit planes: lane-group g weights 1<<g,
+    # single OR tree (cmp8 implies cmp4, so both ride one weighted plane
+    # with 2<<g — except 2<<31 overflows, so two planes it is).
+    wv = jnp.concatenate(
+        [jnp.full((1, W1), jnp.uint32(1 << g)) for g in range(SPW)], axis=1)
+    cmp4 = draws <= t4b
+    cmp8 = draws <= t8b
+    P4 = jnp.where(cmp4, wv, jnp.uint32(0))
+    P8 = jnp.where(cmp8, wv, jnp.uint32(0))
+    P4w = P4[:, 0:W1]
+    P8w = P8[:, 0:W1]
+    for g in range(1, SPW):
+        P4w = P4w | P4[:, g * W1:(g + 1) * W1]
+        P8w = P8w | P8[:, g * W1:(g + 1) * W1]
+
+    if greedy:
+        # T <= 0 quench: the e == 2 class coin-flips on thr[7] instead of
+        # always accepting (third compare + pack).
+        t0b = (thr_ref[7] ^ bias).astype(jnp.int32)
+        cmp0 = draws <= t0b
+        P0 = jnp.where(cmp0, wv, jnp.uint32(0))
+        P0w = P0[:, 0:W1]
+        for g in range(1, SPW):
+            P0w = P0w | P0[:, g * W1:(g + 1) * W1]
+        flip = ((~ge3 & ~eq2) | (eq2 & P0w)
+                | (ge3 & ~ge4 & P4w) | (ge4 & P8w))
+    else:
+        flip = (~ge3) | (ge3 & ~ge4 & P4w) | (ge4 & P8w)
+
+    out_ref[...] = me ^ flip
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "color", "seed", "rng_mode", "interpret", "greedy"))
+def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
+               seed: int, rng_mode: str = "threefry13",
+               interpret: bool = False, greedy: bool = False):
+    """One color half-sweep over the 1-bit (H, W1) plane."""
+    H, W1 = dst.shape
+    BY = _block_rows_for(H, 8 * W1 if parse_rng_mode(rng_mode)[0] == "philox"
+                         else 16 * W1, rng_mode)
+    nblk = H // BY
+
+    if nblk > 1:
+        ups = jnp.concatenate([src_up, src[BY - 1::BY][:-1]], axis=0)
+        dns = jnp.concatenate([src[BY::BY], src_dn], axis=0)
+    else:
+        ups, dns = src_up, src_dn
+
+    params = jnp.stack([
+        row0 if hasattr(row0, "astype") else jnp.uint32(row0),
+        step if hasattr(step, "astype") else jnp.uint32(step),
+    ]).astype(jnp.uint32)
+
+    blk = lambda i: (i, 0)
+    whole = lambda i: (0, 0)
+    kernel = functools.partial(
+        _bit1_kernel, color=color, row_block=BY, seed=seed,
+        rng_mode=rng_mode, interp=interpret, greedy=greedy)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # thr10
+            pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),      # dst
+            pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),      # src
+            pl.BlockSpec((nblk, W1), whole, memory_space=pltpu.VMEM),  # ups
+            pl.BlockSpec((nblk, W1), whole, memory_space=pltpu.VMEM),  # dns
+        ],
+        out_specs=pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W1), jnp.uint32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(params, thr10, dst, src, ups, dns)
+
+
+class Bit1Backend:
+    """Backend adapter: 1 bit per spin, bit-sliced sweep (speed tier)."""
+
+    name = "bit1"
+    bytes_per_spin = 0.125
+
+    def __init__(self, cfg):
+        if cfg.xsl is not None:
+            raise NotImplementedError(
+                "bit1 backend has no sub-lattice mode; use packed or xla")
+        if cfg.j_prob is not None:
+            raise NotImplementedError(
+                "bit1 backend has no disorder mode; use packed, dense or xla")
+        self.cfg = cfg
+        self.greedy = cfg.temperature <= 0
+        self.interpret = jax.default_backend() == "cpu"
+        if not self.interpret and cfg.ncols % 8192:
+            # W1 = ncols/64 must fill whole 128-lane registers on compiled
+            # TPU (the same Mosaic sub-128-lane hazard the packed tier
+            # fences with its ncols % 2048 constraint; see PERF.md).
+            raise ValueError(
+                "bit1 backend on TPU requires ncols % 8192 == 0; "
+                "use the packed backend for smaller lattices")
+
+    def encode(self, black_bits, white_bits):
+        return pack_bits1(black_bits), pack_bits1(white_bits)
+
+    def decode(self, black_store, white_store):
+        return unpack_bits1(black_store), unpack_bits1(white_store)
+
+    def row_up_counts(self, black_store, white_store):
+        """Popcount magnetization straight on the 1-bit words."""
+        def rows(p):
+            return jnp.sum(jax.lax.population_count(p).astype(jnp.uint32),
+                           axis=1)
+        return rows(black_store) + rows(white_store)
+
+    def update_color(self, dst, src, *, color, thr10, step, row0=0,
+                     src_up=None, src_dn=None, jplanes=None):
+        assert jplanes is None
+        return bit1_sweep(dst, src, src_up, src_dn, thr10,
+                          jnp.uint32(row0), step, color=color,
+                          seed=self.cfg.seed, rng_mode=self.cfg.rng,
+                          interpret=self.interpret, greedy=self.greedy)

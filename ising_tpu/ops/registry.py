@@ -13,7 +13,7 @@ from __future__ import annotations
 
 
 def available_backends():
-    return ("xla", "dense", "packed", "mxu")
+    return ("xla", "dense", "packed", "bit1", "mxu")
 
 
 def get_backend(cfg):
@@ -26,6 +26,9 @@ def get_backend(cfg):
     if cfg.backend == "packed":
         from .pallas_packed import PackedBackend
         return PackedBackend(cfg)
+    if cfg.backend == "bit1":
+        from .pallas_bit1 import Bit1Backend
+        return Bit1Backend(cfg)
     if cfg.backend == "mxu":
         from .mxu import MxuBackend
         return MxuBackend(cfg)

@@ -92,7 +92,7 @@ def main(argv=None):
                     help="also verify the 16384^2 benchmark shape")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--backend", default="packed",
-                    choices=("packed", "dense", "mxu"))
+                    choices=("packed", "dense", "bit1", "mxu"))
     args = ap.parse_args(argv)
 
     import jax
@@ -107,14 +107,27 @@ def main(argv=None):
               "miscompiles.", flush=True)
 
     ok = True
-    cases = [
-        dict(nrows=64, ncols=2048, rng="philox"),
-        dict(nrows=64, ncols=2048, rng="threefry13"),
-        dict(nrows=64, ncols=4096, rng="philox7"),
-        dict(nrows=64, ncols=4096, rng="threefry"),
-        dict(nrows=64, ncols=2048, rng="threefry13", j_prob=0.3),
-        dict(nrows=64, ncols=2048, rng="philox", xsl=256, ysl=16),
-    ]
+    if args.backend == "bit1":
+        # bit1 requires ncols % 8192 on compiled TPU (W1 = ncols/64 must
+        # fill 128-lane registers); no disorder/replica modes.
+        cases = [
+            dict(nrows=64, ncols=8192, rng="philox"),
+            dict(nrows=64, ncols=8192, rng="threefry13"),
+            dict(nrows=64, ncols=16384, rng="philox7"),
+            dict(nrows=64, ncols=16384, rng="threefry"),
+        ]
+    else:
+        cases = [
+            dict(nrows=64, ncols=2048, rng="philox"),
+            dict(nrows=64, ncols=2048, rng="threefry13"),
+            dict(nrows=64, ncols=4096, rng="philox7"),
+            dict(nrows=64, ncols=4096, rng="threefry"),
+        ]
+        if args.backend == "packed":
+            cases += [
+                dict(nrows=64, ncols=2048, rng="threefry13", j_prob=0.3),
+                dict(nrows=64, ncols=2048, rng="philox", xsl=256, ysl=16),
+            ]
     if args.big:
         cases.append(dict(nrows=16384, ncols=16384, rng="threefry13",
                           steps=2))

@@ -222,3 +222,55 @@ def test_fused_manual_block_edge_cases(nrows, by, monkeypatch):
     fb, fw = be.update_step(pb, pw, thr10=thr, step=jnp.uint32(5))
     np.testing.assert_array_equal(np.asarray(ub), np.asarray(fb))
     np.testing.assert_array_equal(np.asarray(uw), np.asarray(fw))
+
+
+@pytest.mark.parametrize("shape", [(8, 64), (16, 128), (64, 256)])
+def test_bit1_matches_xla(shape):
+    Y, X = shape
+    base = dict(nrows=Y, ncols=X, temp=1.8, seed=4242)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base))
+
+
+@pytest.mark.parametrize("rng", ["threefry13", "philox7", "philox"])
+def test_bit1_rng_modes_match_xla(rng):
+    base = dict(nrows=16, ncols=128, temp=1.8, seed=515, rng=rng)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base), nsteps=2)
+
+
+def test_bit1_multiblock_matches_xla():
+    import ising_tpu.ops.pallas_dense as pd
+    orig = pd._pick_block_rows
+    pd._pick_block_rows = lambda nrows, target=256: 8
+    try:
+        base = dict(nrows=32, ncols=64, temp=2.2, seed=7)
+        assert_same_trajectory(SimConfig(backend="xla", **base),
+                               SimConfig(backend="bit1", **base))
+    finally:
+        pd._pick_block_rows = orig
+
+
+def test_bit1_zero_temperature():
+    base = dict(nrows=16, ncols=64, temp=0.0, seed=13)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base), nsteps=5)
+
+
+def test_bit1_pack_round_trip():
+    from ising_tpu.ops.pallas_bit1 import pack_bits1, unpack_bits1
+    rs = np.random.RandomState(5)
+    bits = jnp.asarray(rs.randint(0, 2, size=(6, 128)).astype("uint8"))
+    packed = pack_bits1(bits)
+    assert packed.shape == (6, 4)
+    np.testing.assert_array_equal(np.asarray(unpack_bits1(packed)),
+                                  np.asarray(bits))
+
+
+def test_bit1_rejects_unsupported():
+    with pytest.raises(NotImplementedError):
+        get_backend(SimConfig(nrows=16, ncols=64, backend="bit1",
+                              xsl=8, ysl=8))
+    with pytest.raises(NotImplementedError):
+        get_backend(SimConfig(nrows=16, ncols=64, backend="bit1",
+                              j_prob=0.4))

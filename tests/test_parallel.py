@@ -181,3 +181,13 @@ def test_halo_overlap_validation():
         make_sharded_stepper(
             SimConfig(nrows=16, ncols=32, ndev=4, halo_overlap=True),
             get_backend(SimConfig(nrows=16, ncols=32, ndev=4)))
+
+
+def test_sharded_bit1_matches_single_and_xla():
+    base = dict(nrows=32, ncols=128, temp=1.7, seed=8)
+    b1, w1 = run(SimConfig(ndev=1, backend="bit1", **base), 3)
+    bn, wn = run(SimConfig(ndev=4, backend="bit1", **base), 3)
+    bx, wx = run(SimConfig(ndev=4, backend="xla", **base), 3)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(bn))
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bn))
+    np.testing.assert_array_equal(np.asarray(wx), np.asarray(wn))
