@@ -144,6 +144,7 @@ class Simulation:
     def set_temperature(self, temp: float):
         self.temp = float(temp)
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
+        rebuild = False
         if hasattr(self.backend, "greedy") and \
                 self.backend.greedy != (self.temp <= 0):
             # Crossing T = 0 switches the packed kernel's static accept
@@ -151,6 +152,16 @@ class Simulation:
             # trace time (it is a static kernel argument, not a traced
             # value), so the stepper must be rebuilt, not just retraced.
             self.backend.greedy = self.temp <= 0
+            rebuild = True
+        if getattr(self.backend, "temp_static", False) and \
+                self.backend.temperature != self.temp:
+            # bit1-hw bakes its k-bit acceptance thresholds in as static
+            # kernel params (the bit-serial compare unrolls on the
+            # threshold bits): a temperature change is a new kernel
+            # variant. Repeated temperatures hit jit's cache.
+            self.backend.temperature = self.temp
+            rebuild = True
+        if rebuild:
             self.shardings, self._step_n = make_sharded_stepper(
                 self.cfg, self.backend, mesh=self.shardings["mesh"],
                 jplanes=self._jplanes)

@@ -60,6 +60,27 @@ def threshold_table(temp: float) -> np.ndarray:
     return np.rint(thr).astype(np.uint64).astype(np.uint32).reshape(10)
 
 
+def bernoulli_kbit_thresholds(temp: float, kbits: int = 24) -> tuple[int, int]:
+    """K-bit integer thresholds (t4, t8) for the bit-serial accept path.
+
+    Used by the bit1 backend's hw mode: accept <=> v < t, where v is a
+    k-bit uniform assembled from k independent random bit-planes and the
+    comparison is evaluated bit-serially on whole planes. t = rint(p * 2^k)
+    (clipped to 2^k - 1), so the realized flip probability t/2^k deviates
+    from exp(-dE/T) by at most 2^-(k+1). At the default k = 24 this is the
+    same granularity as the reference's acceptance compare, whose
+    curand_uniform draws live on a 2^-24 grid (optimized/main.cu:652-656).
+
+    (t4, t8) are the thresholds of the two stochastic classes dE = 4 and
+    dE = 8; every dE <= 0 class always accepts, handled by the class masks.
+    """
+    p = acceptance_probabilities(temp)
+    cap = (1 << kbits) - 1
+    t4 = min(cap, int(np.rint(min(p[1, 3], 1.0) * (1 << kbits))))
+    t8 = min(cap, int(np.rint(min(p[1, 4], 1.0) * (1 << kbits))))
+    return t4, t8
+
+
 def onsager_magnetization(temp: float) -> float:
     """Exact spontaneous |magnetization| of the infinite 2D Ising lattice.
 

@@ -86,9 +86,42 @@ def _neighbor_class_masks(me, up, dn, same, off):
     return ge3, ge4, eq2
 
 
+def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
+    """(lt4, lt8, coin) bit-planes: v < t for both thresholds, bit-serially.
+
+    draws is (BY, kbits*W1); plane z = draws[:, z*W1:(z+1)*W1] supplies one
+    i.i.d. random bit per spin. Processing planes LSB-first, the strict
+    compare "v < t" obeys  a' = t_z ? (~u | a) : (~u & a)  — the threshold
+    bits are STATIC, so each plane costs one ~ shared by both accumulators
+    plus one |/& each (3 vector ops per plane for both classes), with no
+    per-spin compare, no weight select and no OR-pack tree. The coin plane
+    (greedy dE == 0 half-accept) reuses plane 0: its class is disjoint from
+    the thresholded classes, so per spin only one of the three variables is
+    ever consumed.
+    """
+    a4 = a8 = coin = None
+    for z in range(kbits):
+        u = draws[:, z * W1:(z + 1) * W1]
+        if coin is None:
+            coin = u
+        nu = ~u
+        if (t4k >> z) & 1:
+            a4 = nu if a4 is None else (nu | a4)
+        elif a4 is not None:
+            a4 = nu & a4
+        if (t8k >> z) & 1:
+            a8 = nu if a8 is None else (nu | a8)
+        elif a8 is not None:
+            a8 = nu & a8
+    zero = jnp.zeros_like(draws[:, :W1])
+    return (a4 if a4 is not None else zero,
+            a8 if a8 is not None else zero, coin)
+
+
 def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                  out_ref, *, color: int, row_block: int, seed: int,
-                 rng_mode: str, interp: bool, greedy: bool):
+                 rng_mode: str, interp: bool, greedy: bool,
+                 t4k: int = 0, t8k: int = 0, kbits: int = 24):
     BY = row_block
     W1 = dst_ref.shape[1]
     C = SPW * W1
@@ -117,30 +150,45 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
     ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, src, off)
 
-    # Per-spin draws: same counter contract and column order as every other
-    # backend (draw column c of the (BY, C) block = compact col c; the
-    # lane-group slice g*W1..(g+1)*W1 is exactly bit-group g's columns).
     tag = TAG_SWEEP | color
     family, rounds = parse_rng_mode(rng_mode)
+
+    if family == "hw":
+        # hw mode has no cross-backend bit contract, so the acceptance can
+        # use the cheapest correct formulation: kbits random bit-planes and
+        # a bit-serial compare against STATIC k-bit thresholds (see
+        # _bitserial_lt_planes). Draw volume drops from 32 to kbits
+        # bits/spin and the whole compare/select/pack pipeline collapses
+        # to ~3 vector ops per plane-word.
+        if interp:
+            draws = _philox_draw_block(params_ref, BY, kbits * W1, BY, seed,
+                                       tag | 0x8000, blk=i)
+        else:
+            draws = _hw_draw_block(params_ref, BY, kbits * W1, seed, tag,
+                                   blk=i)
+        lt4, lt8, coin = _bitserial_lt_planes(draws, W1, kbits, t4k, t8k)
+        if greedy:
+            flip = ((~ge3 & ~eq2) | (eq2 & coin)
+                    | (ge3 & ~ge4 & lt4) | (ge4 & lt8))
+        else:
+            flip = (~ge3) | (ge3 & ~ge4 & lt4) | (ge4 & lt8)
+        out_ref[...] = me ^ flip
+        return
+
+    # Counter modes: per-spin u32 draws, same contract and column order as
+    # every other backend (draw column c of the (BY, C) block = compact
+    # col c; the lane-group slice g*W1..(g+1)*W1 is bit-group g's columns).
     if family == "philox":
         draws = _philox_draw_block(params_ref, BY, C, BY, seed, tag,
                                    blk=i, rounds=rounds)
-    elif family == "threefry":
+    else:
         draws = _threefry_draw_block(params_ref, BY, C, BY, seed, tag,
                                      blk=i, rounds=rounds)
-    elif interp:
-        draws = _philox_draw_block(params_ref, BY, C, BY, seed,
-                                   tag | 0x8000, blk=i)
-    else:
-        draws = _hw_draw_block(params_ref, BY, C, seed, tag, blk=i)
 
     bias = jnp.uint32(0x80000000)
     t4b = (thr_ref[8] ^ bias).astype(jnp.int32)
     t8b = (thr_ref[9] ^ bias).astype(jnp.int32)
-    if family == "hw" and not interp:
-        draws = draws.astype(jnp.int32)  # raw uniform bits, pre-biased view
-    else:
-        draws = (draws ^ bias).astype(jnp.int32)
+    draws = (draws ^ bias).astype(jnp.int32)
 
     # Pack the compare results into bit planes: lane-group g weights 1<<g,
     # single OR tree (cmp8 implies cmp4, so both ride one weighted plane
@@ -175,14 +223,22 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "color", "seed", "rng_mode", "interpret", "greedy"))
+    "color", "seed", "rng_mode", "interpret", "greedy",
+    "t4k", "t8k", "kbits"))
 def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
                seed: int, rng_mode: str = "threefry13",
-               interpret: bool = False, greedy: bool = False):
-    """One color half-sweep over the 1-bit (H, W1) plane."""
+               interpret: bool = False, greedy: bool = False,
+               t4k: int = 0, t8k: int = 0, kbits: int = 24):
+    """One color half-sweep over the 1-bit (H, W1) plane.
+
+    t4k/t8k/kbits are only consumed in hw mode: static k-bit acceptance
+    thresholds for the bit-serial compare (ising.bernoulli_kbit_thresholds).
+    """
     H, W1 = dst.shape
-    BY = _block_rows_for(H, 8 * W1 if parse_rng_mode(rng_mode)[0] == "philox"
-                         else 16 * W1, rng_mode)
+    fam = parse_rng_mode(rng_mode)[0]
+    BY = _block_rows_for(
+        H, 8 * W1 if fam == "philox"
+        else (kbits * W1 if fam == "hw" else 16 * W1), rng_mode)
     nblk = H // BY
 
     if nblk > 1:
@@ -200,7 +256,8 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
     whole = lambda i: (0, 0)
     kernel = functools.partial(
         _bit1_kernel, color=color, row_block=BY, seed=seed,
-        rng_mode=rng_mode, interp=interpret, greedy=greedy)
+        rng_mode=rng_mode, interp=interpret, greedy=greedy,
+        t4k=t4k, t8k=t8k, kbits=kbits)
 
     return pl.pallas_call(
         kernel,
@@ -238,6 +295,17 @@ class Bit1Backend:
         self.cfg = cfg
         self.greedy = cfg.temperature <= 0
         self.interpret = jax.default_backend() == "cpu"
+        # hw mode bakes the k-bit acceptance thresholds in as STATIC kernel
+        # params (the bit-serial compare unrolls on the threshold's bits).
+        # The driver rebuilds the stepper when the temperature changes.
+        self.temp_static = parse_rng_mode(cfg.rng)[0] == "hw"
+        self.temperature = cfg.temperature
+        # Accept-path precision: flip probabilities realized on a 2^-k grid.
+        # k = 24 matches the reference's curand_uniform granularity
+        # (optimized/main.cu:652-656); the env knob is for perf experiments
+        # only (k = 16's ~4e-6 absolute bias is detectable at bench scale).
+        import os
+        self.accept_bits = int(os.environ.get("ISING_TPU_BIT1_KBITS", "24"))
         if not self.interpret and cfg.ncols % 8192:
             # W1 = ncols/64 must fill whole 128-lane registers on compiled
             # TPU (the same Mosaic sub-128-lane hazard the packed tier
@@ -262,7 +330,13 @@ class Bit1Backend:
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
         assert jplanes is None
+        t4k = t8k = 0
+        if self.temp_static:
+            from ..models import ising
+            t4k, t8k = ising.bernoulli_kbit_thresholds(
+                self.temperature, self.accept_bits)
         return bit1_sweep(dst, src, src_up, src_dn, thr10,
                           jnp.uint32(row0), step, color=color,
                           seed=self.cfg.seed, rng_mode=self.cfg.rng,
-                          interpret=self.interpret, greedy=self.greedy)
+                          interpret=self.interpret, greedy=self.greedy,
+                          t4k=t4k, t8k=t8k, kbits=self.accept_bits)

@@ -66,6 +66,25 @@ def test_temperature_ramp_clamps_at_min():
     assert sim.temp == pytest.approx(MIN_TEMP)
 
 
+def test_temperature_ramp_bit1_hw_rebuilds_static_thresholds():
+    """bit1-hw bakes k-bit accept thresholds in statically; a ramp must
+    rebuild the stepper with the new temperature's thresholds (and the
+    dynamics must stay physical: a cold ordered lattice stays ordered)."""
+    import jax.numpy as jnp
+    from ising_tpu import observables
+    cfg = SimConfig(nrows=16, ncols=64, temp=1.2, seed=3, niters=8,
+                    backend="bit1", rng="hw", temp_step=-0.2, temp_freq=2)
+    sim = Simulation(cfg)
+    ch = cfg.ncols // 2
+    sim.black, sim.white = sim.backend.encode(
+        jnp.ones((16, ch), jnp.uint8), jnp.ones((16, ch), jnp.uint8))
+    res = sim.run(log=lambda *a: None)
+    assert sim.backend.temperature == pytest.approx(res["temp_final"])
+    assert res["temp_final"] == pytest.approx(1.2 - 0.2 * 4)
+    m = observables.magnetization(*sim.bits())
+    assert m > 0.95, f"ordered state melted during cold ramp ({m})"
+
+
 def test_checkpoint_resume_exact(tmp_path):
     base = dict(nrows=16, ncols=32, temp=1.8, seed=11)
     # straight 10-step run

@@ -45,6 +45,19 @@ def test_zero_temperature_greedy():
                 assert int(thr[b * 5 + n]) == round(0.5 * 4294967295.0)
 
 
+def test_bernoulli_kbit_thresholds():
+    t4, t8 = ising.bernoulli_kbit_thresholds(1.5, 24)
+    assert t4 == round(math.exp(-4.0 / 1.5) * 2 ** 24)
+    assert t8 == round(math.exp(-8.0 / 1.5) * 2 ** 24)
+    # quantization error bound 2^-(k+1)
+    assert abs(t4 / 2 ** 24 - math.exp(-4.0 / 1.5)) <= 2 ** -25
+    # T <= 0: both stochastic classes reject outright
+    assert ising.bernoulli_kbit_thresholds(0.0, 24) == (0, 0)
+    # huge T: clipped below always-accept (strict compare cannot express 1)
+    t4h, _ = ising.bernoulli_kbit_thresholds(1e9, 24)
+    assert t4h == 2 ** 24 - 1
+
+
 def test_onsager_magnetization():
     assert ising.onsager_magnetization(TCRIT + 0.1) == 0.0
     assert ising.onsager_magnetization(3.0) == 0.0

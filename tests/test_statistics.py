@@ -51,10 +51,18 @@ def measure_flip_rates(cfg, nsteps=40):
     return flips, counts
 
 
-@pytest.mark.parametrize("backend", ["xla", "packed"])
-def test_acceptance_rates_match_exact(backend):
+@pytest.mark.parametrize("backend,rng", [
+    ("xla", None), ("packed", None), ("bit1", None),
+    # bit1 + hw exercises the bit-serial Bernoulli-plane accept path
+    # (static k-bit thresholds); in interpret mode its planes come from the
+    # philox fallback, so the decision logic is fully covered on CPU.
+    ("bit1", "hw"),
+])
+def test_acceptance_rates_match_exact(backend, rng):
     T = 2.0
-    cfg = SimConfig(nrows=64, ncols=64, temp=T, seed=77, backend=backend)
+    kw = {} if rng is None else {"rng": rng}
+    cfg = SimConfig(nrows=64, ncols=64, temp=T, seed=77, backend=backend,
+                    **kw)
     flips, counts = measure_flip_rates(cfg)
     p = ising.acceptance_probabilities(T)
     for b in range(2):
