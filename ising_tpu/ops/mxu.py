@@ -75,14 +75,22 @@ def _mxu_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     C = dst_ref.shape[1]
     i = pl.program_id(0)
 
-    s = 2.0 * src_ref[...].astype(jnp.bfloat16) - 1.0  # +-1 spins
+    def to_bf16(x):
+        # Mosaic has no direct u8/i32 -> bf16 cast; hop through f32.
+        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    s = 2.0 * to_bf16(src_ref[...]) - 1.0  # +-1 spins
+
+    sf = s.astype(jnp.float32)
 
     # Vertical: band matmul gives s[r-1] + s[r+1] inside the block; the
     # block-edge rows come from the edge arrays (add_boundaries analog,
     # tensorcore/main.cu:148-226, but fused — no extra kernel/HBM pass).
-    v = jnp.dot(kv_ref[...], s, preferred_element_type=jnp.bfloat16)
-    up_row = 2.0 * up_ref[pl.ds(i, 1), :].astype(jnp.bfloat16) - 1.0
-    dn_row = 2.0 * dn_ref[pl.ds(i, 1), :].astype(jnp.bfloat16) - 1.0
+    # The MXU accumulates in f32 (bf16 acc is rejected by Mosaic), so every
+    # product/sum is exact: values stay small integers in [-4, 4].
+    v = jnp.dot(kv_ref[...], s, preferred_element_type=jnp.float32)
+    up_row = 2.0 * up_ref[pl.ds(i, 1), :].astype(jnp.float32) - 1.0
+    dn_row = 2.0 * dn_ref[pl.ds(i, 1), :].astype(jnp.float32) - 1.0
     row_id = jax.lax.broadcasted_iota(jnp.int32, (BY, C), 0)
     v = jnp.where(row_id == 0, v + up_row, v)
     v = jnp.where(row_id == BY - 1, v + dn_row, v)
@@ -96,19 +104,20 @@ def _mxu_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     parts_r = []
     for k in range(C // TILE):
         blk = s[:, k * TILE:(k + 1) * TILE]
-        parts_l.append(jnp.dot(blk, kl, preferred_element_type=jnp.bfloat16))
-        parts_r.append(jnp.dot(blk, kr, preferred_element_type=jnp.bfloat16))
+        parts_l.append(jnp.dot(blk, kl, preferred_element_type=jnp.float32))
+        parts_r.append(jnp.dot(blk, kr, preferred_element_type=jnp.float32))
     left = jnp.concatenate(parts_l, axis=1)
     right = jnp.concatenate(parts_r, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (BY, C), 1)
-    left = jnp.where(lane % TILE == 0, pltpu.roll(s, 1, 1), left)
-    right = jnp.where(lane % TILE == TILE - 1, pltpu.roll(s, C - 1, 1), right)
+    left = jnp.where(lane % TILE == 0, pltpu.roll(sf, 1, 1), left)
+    right = jnp.where(lane % TILE == TILE - 1, pltpu.roll(sf, C - 1, 1),
+                      right)
 
     odd = (row_id % 2) == 1
     off = jnp.where(odd, right, left) if color == BLACK \
         else jnp.where(odd, left, right)
 
-    total = v + s + off  # sum of 4 neighbor spins, exact in bf16
+    total = v + sf + off  # sum of 4 neighbor spins, exact in f32
     n = ((total.astype(jnp.int32) + 4) >> 1)  # neighbor bit-count 0..4
 
     # Shared integer accept: mirrored count e = b ? n : 4-n collapses the

@@ -117,11 +117,13 @@ def main(argv=None):
             dict(nrows=64, ncols=16384, rng="threefry"),
         ]
     else:
+        # mxu needs nrows and ncols/2 to be multiples of 128.
+        ny = 128 if args.backend == "mxu" else 64
         cases = [
-            dict(nrows=64, ncols=2048, rng="philox"),
-            dict(nrows=64, ncols=2048, rng="threefry13"),
-            dict(nrows=64, ncols=4096, rng="philox7"),
-            dict(nrows=64, ncols=4096, rng="threefry"),
+            dict(nrows=ny, ncols=2048, rng="philox"),
+            dict(nrows=ny, ncols=2048, rng="threefry13"),
+            dict(nrows=ny, ncols=4096, rng="philox7"),
+            dict(nrows=ny, ncols=4096, rng="threefry"),
         ]
         if args.backend == "packed":
             cases += [
