@@ -44,8 +44,8 @@ def main(argv=None):
     ap.add_argument("--backend", default=None,
                     help="override flagship backend")
     ap.add_argument("--rng", default="hw",
-                    choices=("philox", "philox7", "threefry", "threefry13",
-                             "hw"))
+                    choices=("philox", "philox7", "philox7b", "threefry",
+                             "threefry13", "threefry13b", "hw"))
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--cols", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)

@@ -66,12 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("xla", "dense", "packed", "bit1", "mxu"),
                    help="update kernel backend")
     p.add_argument("--rng", default="threefry13",
-                   choices=("philox", "philox7", "threefry", "threefry13",
-                            "hw"),
+                   choices=("philox", "philox7", "philox7b", "threefry",
+                            "threefry13", "threefry13b", "hw"),
                    help="counter modes (philox[7], threefry[13]) are "
                         "bit-reproducible everywhere; the reduced-round "
                         "variants are the BigCrush-validated minima and "
-                        "faster; hw = fastest native, no contract")
+                        "faster; the ...b variants use the bit-plane "
+                        "contract (16 bits/spin, ~2x faster again; bit1 "
+                        "and xla backends); hw = fastest native, no "
+                        "contract")
     p.add_argument("--use-common-seed", action="store_true",
                    help="accepted for basic_python CLI parity; a no-op "
                         "because rng=philox already yields trajectories "

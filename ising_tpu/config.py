@@ -35,10 +35,14 @@ class SimConfig:
     # RNG mode. Counter-based modes are bit-reproducible across backends,
     # shardings and checkpoint/resume: "philox" / "philox7" =
     # Philox4x32-10/-7, "threefry" / "threefry13" = Threefry2x32-20/-13
-    # (multiply-free, the fast family on the TPU VPU; the reduced-round
-    # variants are the BigCrush-validated minima of the Random123 paper —
-    # see rng.RNG_MODES). "hw" = fastest native generator per backend, no
-    # cross-backend contract. Default: the fastest reproducible mode.
+    # (the reduced-round variants are the BigCrush-validated minima of the
+    # Random123 paper — see rng.RNG_MODES). The "...b" variants
+    # ("philox7b", "threefry13b") use the bit-plane contract — 16 bits/spin
+    # consumed as plane draws with a bit-serial k-bit compare — ~3x faster,
+    # still fully reproducible, supported by the bit1 and xla backends.
+    # "hw" = fastest native generator per backend, no cross-backend
+    # contract. Default: the fastest reproducible mode every backend
+    # supports ("philox7b" is the speed pick on bit1/xla).
     rng: str = "threefry13"
 
     # Iterations (reference -w / -n).

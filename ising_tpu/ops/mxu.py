@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, parse_rng_mode
+from ..rng import TAG_SWEEP, parse_rng_mode, plane_bits
 from .pallas_dense import (_hw_draws, _philox_draws, _threefry_draws,
                            unsigned_le)
 
@@ -213,6 +213,10 @@ class MxuBackend:
             raise NotImplementedError(
                 "mxu backend has no disorder mode (nor does the reference "
                 "tensorcore tier)")
+        if plane_bits(cfg.rng):
+            raise NotImplementedError(
+                "bit-plane rng modes (...b) are implemented by the bit1 and "
+                "xla backends; use philox7/threefry13 here")
         if cfg.nrows % TILE or (cfg.ncols // 2) % TILE:
             raise ValueError(
                 "mxu backend needs nrows and ncols/2 multiples of 128")

@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, parse_rng_mode
+from ..rng import TAG_SWEEP, parse_rng_mode, plane_bits
 from .pallas_dense import _block_rows_for
 from .pallas_packed import (_hw_draw_block, _philox_draw_block,
                             _threefry_draw_block)
@@ -152,20 +152,29 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
     tag = TAG_SWEEP | color
     family, rounds = parse_rng_mode(rng_mode)
+    kplanes = plane_bits(rng_mode)
 
-    if family == "hw":
-        # hw mode has no cross-backend bit contract, so the acceptance can
-        # use the cheapest correct formulation: kbits random bit-planes and
-        # a bit-serial compare against STATIC k-bit thresholds (see
-        # _bitserial_lt_planes). Draw volume drops from 32 to kbits
-        # bits/spin and the whole compare/select/pack pipeline collapses
-        # to ~3 vector ops per plane-word.
-        if interp:
-            draws = _philox_draw_block(params_ref, BY, kbits * W1, BY, seed,
+    if family == "hw" or kplanes:
+        # Bit-serial acceptance: kbits random bit-planes compared against
+        # STATIC k-bit thresholds (see _bitserial_lt_planes). Draw volume
+        # drops from 32 to kbits bits/spin and the whole
+        # compare/select/pack pipeline collapses to ~3 vector ops per
+        # plane-word. hw mode uses it because it has no cross-backend bit
+        # contract; the "...b" counter modes make the bit-plane consumption
+        # the contract itself (rng.RNG_MODES), implemented identically by
+        # the xla backend (xla_ref.sweep_color_planes).
+        cols = kbits * W1
+        if family == "philox":
+            draws = _philox_draw_block(params_ref, BY, cols, BY, seed, tag,
+                                       blk=i, rounds=rounds)
+        elif family == "threefry":
+            draws = _threefry_draw_block(params_ref, BY, cols, BY, seed,
+                                         tag, blk=i, rounds=rounds)
+        elif interp:
+            draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
                                        tag | 0x8000, blk=i)
         else:
-            draws = _hw_draw_block(params_ref, BY, kbits * W1, seed, tag,
-                                   blk=i)
+            draws = _hw_draw_block(params_ref, BY, cols, seed, tag, blk=i)
         lt4, lt8, coin = _bitserial_lt_planes(draws, W1, kbits, t4k, t8k)
         if greedy:
             flip = ((~ge3 & ~eq2) | (eq2 & coin)
@@ -236,9 +245,13 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
     """
     H, W1 = dst.shape
     fam = parse_rng_mode(rng_mode)[0]
-    BY = _block_rows_for(
-        H, 8 * W1 if fam == "philox"
-        else (kbits * W1 if fam == "hw" else 16 * W1), rng_mode)
+    if fam == "hw" or plane_bits(rng_mode):
+        width = kbits * W1  # widest intermediate: the bit-plane draw block
+    elif fam == "philox":
+        width = 8 * W1
+    else:
+        width = 16 * W1
+    BY = _block_rows_for(H, width, rng_mode)
     nblk = H // BY
 
     if nblk > 1:
@@ -295,17 +308,22 @@ class Bit1Backend:
         self.cfg = cfg
         self.greedy = cfg.temperature <= 0
         self.interpret = jax.default_backend() == "cpu"
-        # hw mode bakes the k-bit acceptance thresholds in as STATIC kernel
-        # params (the bit-serial compare unrolls on the threshold's bits).
-        # The driver rebuilds the stepper when the temperature changes.
-        self.temp_static = parse_rng_mode(cfg.rng)[0] == "hw"
+        # hw and "...b" bit-plane modes bake the k-bit acceptance thresholds
+        # in as STATIC kernel params (the bit-serial compare unrolls on the
+        # threshold's bits). The driver rebuilds the stepper when the
+        # temperature changes.
+        self.kplanes = plane_bits(cfg.rng)
+        self.temp_static = (parse_rng_mode(cfg.rng)[0] == "hw"
+                            or self.kplanes > 0)
         self.temperature = cfg.temperature
-        # Accept-path precision: flip probabilities realized on a 2^-k grid.
-        # k = 24 matches the reference's curand_uniform granularity
+        # hw accept-path precision: flip probabilities realized on a 2^-k
+        # grid. k = 24 matches the reference's curand_uniform granularity
         # (optimized/main.cu:652-656); the env knob is for perf experiments
         # only (k = 16's ~4e-6 absolute bias is detectable at bench scale).
+        # The "...b" counter modes fix k = 16 in their contract instead.
         import os
-        self.accept_bits = int(os.environ.get("ISING_TPU_BIT1_KBITS", "24"))
+        self.accept_bits = self.kplanes or int(
+            os.environ.get("ISING_TPU_BIT1_KBITS", "24"))
         if not self.interpret and cfg.ncols % 8192:
             # W1 = ncols/64 must fill whole 128-lane registers on compiled
             # TPU (the same Mosaic sub-128-lane hazard the packed tier

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
-from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, parse_rng_mode,
+from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, parse_rng_mode, plane_bits,
                    philox4x32, threefry2x32, threefry_stream_key)
 
 
@@ -253,6 +253,11 @@ class DenseBackend:
         if cfg.xsl is not None:
             raise NotImplementedError(
                 "dense backend has no sub-lattice mode; use xla or packed")
+        if plane_bits(cfg.rng):
+            raise NotImplementedError(
+                "bit-plane rng modes (...b) are implemented by the bit1 and "
+                "xla backends (their storage matches the plane layout); use "
+                "philox7/threefry13 here")
         self.cfg = cfg
         # Interpret mode on CPU makes the same kernel CI-testable.
         self.interpret = jax.default_backend() == "cpu"

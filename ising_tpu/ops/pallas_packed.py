@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK, WHITE
-from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, parse_rng_mode,
+from ..rng import (TAG_SWEEP, key_from_seed, mulhilo32, parse_rng_mode, plane_bits,
                    philox4x32, threefry2x32, threefry_stream_key)
 from .pallas_dense import _block_rows_for, unsigned_le
 
@@ -775,6 +775,11 @@ class PackedBackend:
     def __init__(self, cfg):
         self.csl = None
         self.ysl = None
+        if plane_bits(cfg.rng):
+            raise NotImplementedError(
+                "bit-plane rng modes (...b) are implemented by the bit1 and "
+                "xla backends (their storage matches the plane layout); use "
+                "philox7/threefry13 here")
         if cfg.xsl is not None:
             # Replica geometry constraints of the packed layout (the
             # reference imposes analogous tile-math divisibility,

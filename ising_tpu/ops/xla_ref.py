@@ -19,7 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..constants import BLACK
-from ..rng import TAG_SWEEP, counter_color_draws
+from ..rng import TAG_SWEEP, counter_color_draws, plane_bits
 
 
 def make_row_wrap_maps(nrows: int, ysl: int):
@@ -55,18 +55,15 @@ def select_threshold(dst_bits, nsum, thr10):
                                jnp.where(e == 3, thr10[8], thr10[9])))
 
 
-def sweep_color(dst, src, *, color: int, thr10, draws,
-                src_up=None, src_dn=None,
-                row_idx_up=None, row_idx_dn=None,
-                col_idx_left=None, col_idx_right=None,
-                jplanes=None):
-    """One Metropolis half-sweep: update every `dst` site of one color.
+def neighbor_bit_sum(src, *, color: int, H: int,
+                     src_up=None, src_dn=None,
+                     row_idx_up=None, row_idx_dn=None,
+                     col_idx_left=None, col_idx_right=None,
+                     jplanes=None):
+    """4-neighbor bit sum (0..4) of the opposite-color plane, per dst site.
 
-    dst/src: compact (H, C) uint8 bit planes (dst color / opposite color).
-    thr10:   uint32 (10,) acceptance thresholds [own_bit*5 + neighbor_sum].
-    draws:   uint32 (H, C) per-site random draws.
-    src_up/src_dn: (1, C) halo rows (opposite color) above/below this slab;
-        for a single unsharded lattice pass src[-1:] and src[:1].
+    src_up/src_dn: (1, C) halo rows above/below this slab; for a single
+        unsharded lattice pass src[-1:] and src[:1].
     row/col index maps: optional static gathers replacing the periodic wrap
         (sub-lattice replica mode). When row maps are given, halos are unused.
     jplanes: optional (j_up, j_dn, j_same, j_off) uint8 antiferro flags for
@@ -75,7 +72,6 @@ def sweep_color(dst, src, *, color: int, thr10, draws,
     Requires even slab heights so local row parity equals global row parity
     (the reference imposes the same constraint, basic_python/ising_basic.py:61).
     """
-    H, C = dst.shape
     if row_idx_up is not None:
         up = jnp.take(src, row_idx_up, axis=0)
         dn = jnp.take(src, row_idx_dn, axis=0)
@@ -105,10 +101,47 @@ def sweep_color(dst, src, *, color: int, thr10, draws,
         same = same ^ j_same
         off = off ^ j_off
 
-    nsum = up + dn + same + off  # bit sum in 0..4, fits uint8
+    return up + dn + same + off  # bit sum in 0..4, fits uint8
+
+
+def sweep_color(dst, src, *, color: int, thr10, draws,
+                src_up=None, src_dn=None, jplanes=None, **maps):
+    """One Metropolis half-sweep: update every `dst` site of one color.
+
+    dst/src: compact (H, C) uint8 bit planes (dst color / opposite color).
+    thr10:   uint32 (10,) acceptance thresholds [own_bit*5 + neighbor_sum].
+    draws:   uint32 (H, C) per-site random draws.
+    """
+    H, C = dst.shape
+    nsum = neighbor_bit_sum(src, color=color, H=H, src_up=src_up,
+                            src_dn=src_dn, jplanes=jplanes, **maps)
     thr = select_threshold(dst, nsum, thr10)
     accept = (draws <= thr).astype(jnp.uint8)
     return dst ^ accept
+
+
+def sweep_color_planes(dst, src, *, color: int, lt4, lt8, coin,
+                       greedy: bool, src_up=None, src_dn=None,
+                       jplanes=None, **maps):
+    """Half-sweep under the bit-plane contract ("...b" rng modes).
+
+    lt4/lt8/coin: (H, C) uint8 Bernoulli bits (v < t4k, v < t8k, fair coin)
+    unpacked from the bit-serial plane compare — must match the bit1
+    kernel's _bitserial_lt_planes consumption bit for bit.
+    """
+    H, C = dst.shape
+    nsum = neighbor_bit_sum(src, color=color, H=H, src_up=src_up,
+                            src_dn=src_dn, jplanes=jplanes, **maps)
+    e = jnp.where(dst.astype(jnp.int32) == 1,
+                  nsum.astype(jnp.int32), 4 - nsum.astype(jnp.int32))
+    if greedy:
+        # T <= 0 quench: dE < 0 accepts, dE == 0 coin-flips, dE > 0 rejects
+        # (lt4/lt8 are all-zero since both thresholds are 0).
+        flip = ((e < 2) | ((e == 2) & (coin == 1))
+                | ((e == 3) & (lt4 == 1)) | ((e == 4) & (lt8 == 1)))
+    else:
+        flip = (e < 3) | ((e == 3) & (lt4 == 1)) | ((e == 4) & (lt8 == 1))
+    return dst ^ flip.astype(jnp.uint8)
 
 
 class XlaBackend:
@@ -127,6 +160,17 @@ class XlaBackend:
         if cfg.xsl:
             self._maps["col_idx_left"], self._maps["col_idx_right"] = \
                 make_col_wrap_maps(ch, cfg.xsl)
+        self.kplanes = plane_bits(cfg.rng)
+        if self.kplanes:
+            if ch % 32:
+                raise ValueError(
+                    "bit-plane rng modes (...b) need ncols % 64 == 0 "
+                    "(one random bit-plane word covers 32 compact columns)")
+            # Static k-bit thresholds; the driver rebuilds the stepper on
+            # temperature changes (same machinery as bit1-hw).
+            self.temp_static = True
+            self.temperature = cfg.temperature
+            self.greedy = cfg.temperature <= 0
 
     # Storage is the logical bit planes themselves.
     def encode(self, black_bits, white_bits):
@@ -138,6 +182,24 @@ class XlaBackend:
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
         H, C = dst.shape
+        if self.kplanes:
+            # Bit-plane contract: same draw block, plane slicing, bit-serial
+            # compare and static thresholds as the bit1 kernel — unpacked to
+            # per-site Bernoulli bits for the dense-plane sweep.
+            from ..models import ising
+            from .pallas_bit1 import _bitserial_lt_planes, unpack_bits1
+            k = self.kplanes
+            W1 = C // 32
+            draws = counter_color_draws(
+                self.cfg.rng, self.cfg.seed, H, k * W1, step=step,
+                tag=TAG_SWEEP | color, row0=row0, row_stride=k * W1)
+            t4k, t8k = ising.bernoulli_kbit_thresholds(self.temperature, k)
+            lt4w, lt8w, coinw = _bitserial_lt_planes(draws, W1, k, t4k, t8k)
+            return sweep_color_planes(
+                dst, src, color=color, lt4=unpack_bits1(lt4w),
+                lt8=unpack_bits1(lt8w), coin=unpack_bits1(coinw),
+                greedy=self.greedy, src_up=src_up, src_dn=src_dn,
+                jplanes=jplanes, **self._maps)
         draws = counter_color_draws(self.cfg.rng, self.cfg.seed, H, C,
                                     step=step, tag=TAG_SWEEP | color,
                                     row0=row0, row_stride=C)

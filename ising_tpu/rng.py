@@ -55,26 +55,48 @@ TAG_SWEEP = 0x000
 TAG_INIT = 0x100
 TAG_HAMILT = 0x200
 
-# rng-mode string -> (family, rounds). The reduced-round variants are the
-# minimum round counts the Random123 paper (Salmon et al., SC'11, Table 2)
-# validates against the full BigCrush battery: Philox4x32 passes at 7
-# rounds, Threefry2x32 at 13 (the full-strength defaults keep the paper's
-# recommended safety margin of +3 / +7 rounds). All counter modes share the
-# same counter layout and reproducibility guarantees; fewer rounds only buy
-# speed. "hw" is the per-backend native generator (no portability contract).
+# rng-mode string -> (family, rounds, plane_bits). The reduced-round
+# variants are the minimum round counts the Random123 paper (Salmon et al.,
+# SC'11, Table 2) validates against the full BigCrush battery: Philox4x32
+# passes at 7 rounds, Threefry2x32 at 13 (the full-strength defaults keep
+# the paper's recommended safety margin of +3 / +7 rounds). All counter
+# modes share the same counter layout and reproducibility guarantees; fewer
+# rounds only buy speed. "hw" is the per-backend native generator (no
+# portability contract).
+#
+# The "b" modes use the BIT-PLANE contract (plane_bits = k = 16): instead
+# of one u32 draw per spin, each color phase draws k bit-planes — a
+# (rows, k*W1) u32 block under the ordinary counter layout, W1 =
+# compact_cols/32, where bit g of word (y, z*W1 + j) is random bit z of the
+# spin at compact column g*W1 + j — and accepts iff the assembled k-bit
+# uniform v < round(p_class * 2^k) (ising.bernoulli_kbit_thresholds).
+# Half the generator volume of the u32 modes at a 2^-17 probability
+# granularity; trajectories remain bit-identical across backends, device
+# counts and checkpoint/resume, but differ from the u32 modes'.
 RNG_MODES = {
-    "philox": ("philox", 10),
-    "philox7": ("philox", 7),
-    "threefry": ("threefry", 20),
-    "threefry13": ("threefry", 13),
-    "hw": ("hw", 0),
+    "philox": ("philox", 10, 0),
+    "philox7": ("philox", 7, 0),
+    "philox7b": ("philox", 7, 16),
+    "threefry": ("threefry", 20, 0),
+    "threefry13": ("threefry", 13, 0),
+    "threefry13b": ("threefry", 13, 16),
+    "hw": ("hw", 0, 0),
 }
 
 
 def parse_rng_mode(mode: str):
     """-> (family, rounds); raises on unknown modes."""
     try:
-        return RNG_MODES[mode]
+        return RNG_MODES[mode][:2]
+    except KeyError:
+        raise ValueError(f"unknown rng mode {mode!r}; "
+                         f"one of {sorted(RNG_MODES)}") from None
+
+
+def plane_bits(mode: str) -> int:
+    """k for bit-plane-contract modes ("...b"), 0 for u32-draw modes."""
+    try:
+        return RNG_MODES[mode][2]
     except KeyError:
         raise ValueError(f"unknown rng mode {mode!r}; "
                          f"one of {sorted(RNG_MODES)}") from None

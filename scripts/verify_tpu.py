@@ -115,6 +115,9 @@ def main(argv=None):
             dict(nrows=64, ncols=8192, rng="threefry13"),
             dict(nrows=64, ncols=16384, rng="philox7"),
             dict(nrows=64, ncols=16384, rng="threefry"),
+            # bit-plane contract modes (in-kernel bit-serial accept)
+            dict(nrows=64, ncols=8192, rng="threefry13b"),
+            dict(nrows=64, ncols=16384, rng="philox7b"),
         ]
     else:
         # mxu needs nrows and ncols/2 to be multiples of 128.

@@ -55,24 +55,61 @@ def threefry2x32_ref(c0, c1, k0, k1, rounds=20):
 
 RNG_ROUNDS = {"philox": 10, "philox7": 7, "threefry": 20, "threefry13": 13}
 
+# Bit-plane-contract modes: (u32-mode equivalent, k bit-planes).
+PLANE_MODES = {"philox7b": ("philox7", 16), "threefry13b": ("threefry13", 16)}
 
-def site_draw(seed, row, col, ch, step, tag, mode="philox"):
-    """Draw for compact site (row, col) of a plane with compact width ch."""
+
+def site_draw(seed, row, col, width, step, tag, mode="philox"):
+    """Draw for column `col` of a (rows, width) uint32 draw block.
+
+    For the u32-contract sweep modes width == ch (one draw per compact
+    site); the same counter layout serves any block width (init streams,
+    bit-plane blocks)."""
     rounds = RNG_ROUNDS[mode]
     if mode.startswith("philox"):
-        g = ch // 4
+        g = width // 4
         q = row * g + (col % g)
         ctr = (q & MASK, (q >> 32) & MASK, step & MASK, tag & MASK)
         key = (seed & MASK, (seed >> 32) & MASK)
         return philox4x32_ref(ctr, key, rounds)[col // g]
     # threefry family: 64-bit pair counter under a per-(step, tag) stream
     # key (derived full-strength, matching rng.threefry_stream_key).
-    g = ch // 2
+    g = width // 2
     q = row * g + (col % g)
     k0, k1 = threefry2x32_ref(step & MASK, tag & MASK,
                               seed & MASK, (seed >> 32) & MASK, 20)
     return threefry2x32_ref(q & MASK, (q >> 32) & MASK, k0, k1,
                             rounds)[col // g]
+
+
+def site_plane_value(seed, row, col, ch, step, tag, mode):
+    """(v, coin_bit) for compact site (row, col) under the bit-plane
+    contract: the k-bit uniform v assembled LSB-first from k bit-planes
+    (plane z = draw columns [z*W1, (z+1)*W1), W1 = ch/32; the site's bit is
+    bit (col // W1) of word (row, z*W1 + col % W1)), plus the plane-0 coin
+    bit reused by the greedy dE == 0 class."""
+    base, k = PLANE_MODES[mode]
+    w1 = ch // 32
+    j = col % w1
+    g = col // w1
+    width = k * w1
+    v = 0
+    for z in range(k):
+        w = site_draw(seed, row, z * w1 + j, width, step, tag, mode=base)
+        v |= ((w >> g) & 1) << z
+    return v, (site_draw(seed, row, j, width, step, tag, mode=base) >> g) & 1
+
+
+def kbit_thresholds(temp, k=16):
+    """round(p * 2^k) thresholds for the dE = 4 / dE = 8 classes (clipped),
+    independent reimplementation of ising.bernoulli_kbit_thresholds."""
+    import math
+    if temp <= 0:
+        return 0, 0
+    cap = (1 << k) - 1
+    t4 = min(cap, round(min(math.exp(-4.0 / temp), 1.0) * (1 << k)))
+    t8 = min(cap, round(min(math.exp(-8.0 / temp), 1.0) * (1 << k)))
+    return t4, t8
 
 
 def full_compact_col(y, x):
@@ -87,15 +124,23 @@ def site_color(y, x):
 
 
 def naive_color_sweep(full_bits, color, thr10, seed, step, *,
-                      v=None, h=None, xsl=None, ysl=None, mode="philox"):
+                      v=None, h=None, xsl=None, ysl=None, mode="philox",
+                      temp=None):
     """Update all sites of `color` in the full {0,1} bit lattice, in place
     semantics (returns a new array). Mirrors basic_cuda/main.cu:54-90 but on
-    the full lattice, with optional disorder links and sub-lattice wrap."""
+    the full lattice, with optional disorder links and sub-lattice wrap.
+
+    Bit-plane modes (PLANE_MODES) need `temp` to derive the k-bit
+    thresholds; u32 modes use the thr10 table."""
     Y, X = full_bits.shape
     ch = X // 2
     out = full_bits.copy()
     ysl = ysl or Y
     xsl = xsl or X
+    plane = mode in PLANE_MODES
+    if plane:
+        t4k, t8k = kbit_thresholds(temp, PLANE_MODES[mode][1])
+        greedy = temp <= 0
     for y in range(Y):
         for x in range(X):
             if site_color(y, x) != color:
@@ -117,6 +162,21 @@ def naive_color_sweep(full_bits, color, thr10, seed, step, *,
                 br ^= int(h[y, x])    # link (y,x)-(y,xr)
             nsum = bu + bd + bl + br
             b = int(full_bits[y, x])
+            if plane:
+                e = nsum if b == 1 else 4 - nsum
+                val, coin = site_plane_value(
+                    seed, y, full_compact_col(y, x), ch, step, tag=color,
+                    mode=mode)
+                if greedy:
+                    flip = (e < 2 or (e == 2 and coin == 1)
+                            or (e == 3 and val < t4k)
+                            or (e == 4 and val < t8k))
+                else:
+                    flip = (e < 3 or (e == 3 and val < t4k)
+                            or (e == 4 and val < t8k))
+                if flip:
+                    out[y, x] = b ^ 1
+                continue
             r = site_draw(seed, y, full_compact_col(y, x), ch, step,
                           tag=color, mode=mode)
             if r <= int(thr10[b * 5 + nsum]):

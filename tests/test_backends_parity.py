@@ -257,6 +257,40 @@ def test_bit1_zero_temperature():
                            SimConfig(backend="bit1", **base), nsteps=5)
 
 
+@pytest.mark.parametrize("rng", ["threefry13b", "philox7b"])
+def test_bit1_plane_modes_match_xla(rng):
+    """Bit-plane contract: bit1's in-kernel bit-serial accept must equal
+    xla's unpacked implementation bit for bit."""
+    base = dict(nrows=16, ncols=128, temp=1.8, seed=515, rng=rng)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base), nsteps=3)
+
+
+def test_bit1_plane_mode_multiblock_and_greedy():
+    import ising_tpu.ops.pallas_dense as pd
+    orig = pd._pick_block_rows
+    pd._pick_block_rows = lambda nrows, target=256: 8
+    try:
+        base = dict(nrows=32, ncols=64, temp=2.2, seed=7, rng="threefry13b")
+        assert_same_trajectory(SimConfig(backend="xla", **base),
+                               SimConfig(backend="bit1", **base))
+    finally:
+        pd._pick_block_rows = orig
+    base = dict(nrows=16, ncols=64, temp=0.0, seed=13, rng="threefry13b")
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base), nsteps=4)
+
+
+def test_plane_modes_fenced_on_unsupported_backends():
+    for backend in ("dense", "packed", "mxu"):
+        with pytest.raises(NotImplementedError, match="bit-plane"):
+            get_backend(SimConfig(nrows=128, ncols=256, temp=1.5,
+                                  backend=backend, rng="threefry13b"))
+    with pytest.raises(ValueError, match="ncols % 64"):
+        get_backend(SimConfig(nrows=8, ncols=32, temp=1.5, backend="xla",
+                              rng="threefry13b"))
+
+
 def test_bit1_pack_round_trip():
     from ising_tpu.ops.pallas_bit1 import pack_bits1, unpack_bits1
     rs = np.random.RandomState(5)

@@ -57,6 +57,10 @@ def measure_flip_rates(cfg, nsteps=40):
     # (static k-bit thresholds); in interpret mode its planes come from the
     # philox fallback, so the decision logic is fully covered on CPU.
     ("bit1", "hw"),
+    # bit-plane counter contract (k = 16): realized rates must still match
+    # the exact probabilities (quantization bias 2^-17 << binomial noise).
+    ("bit1", "threefry13b"),
+    ("xla", "philox7b"),
 ])
 def test_acceptance_rates_match_exact(backend, rng):
     T = 2.0

@@ -44,6 +44,67 @@ def test_sweep_matches_naive(shape, rng):
     np.testing.assert_array_equal(got, full)
 
 
+@pytest.mark.parametrize("rng", ["philox7b", "threefry13b"])
+@pytest.mark.parametrize("shape", [(8, 64), (6, 128)])
+def test_sweep_matches_naive_plane_modes(shape, rng):
+    """Bit-plane rng contract (...b modes) against the scalar reference."""
+    Y, X = shape
+    cfg = SimConfig(nrows=Y, ncols=X, temp=1.8, seed=321, backend="xla",
+                    rng=rng)
+    thr = ising.threshold_table(cfg.temperature)
+    full = naive_init(cfg.seed, Y, X)
+    for step in range(3):
+        full = naive_step(full, thr, cfg.seed, step, mode=rng,
+                          temp=cfg.temperature)
+    b, w = run_backend_steps(cfg, 3)
+    got = np.asarray(lattice.compact_to_full(b, w))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_plane_mode_greedy_matches_naive():
+    """T <= 0 quench under the bit-plane contract (coin = plane-0 bit)."""
+    cfg = SimConfig(nrows=8, ncols=64, temp=0.0, seed=99, backend="xla",
+                    rng="threefry13b")
+    thr = ising.threshold_table(cfg.temperature)
+    full = naive_init(cfg.seed, 8, 64)
+    for step in range(4):
+        full = naive_step(full, thr, cfg.seed, step, mode="threefry13b",
+                          temp=0.0)
+    b, w = run_backend_steps(cfg, 4)
+    got = np.asarray(lattice.compact_to_full(b, w))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_plane_mode_sublattice_and_disorder_match_naive():
+    """Plane modes compose with replica wrap and quenched disorder on xla."""
+    Y, X = 8, 64
+    cfg = SimConfig(nrows=Y, ncols=X, temp=1.6, seed=55, backend="xla",
+                    rng="threefry13b", xsl=8, ysl=4)
+    thr = ising.threshold_table(cfg.temperature)
+    full = naive_init(cfg.seed, Y, X)
+    for step in range(2):
+        full = naive_step(full, thr, cfg.seed, step, mode="threefry13b",
+                          temp=cfg.temperature, xsl=8, ysl=4)
+    b, w = run_backend_steps(cfg, 2)
+    np.testing.assert_array_equal(
+        np.asarray(lattice.compact_to_full(b, w)), full)
+
+    cfg2 = SimConfig(nrows=Y, ncols=X, temp=1.6, seed=56, backend="xla",
+                     rng="philox7b", j_prob=0.25)
+    v, h = ising.generate_disorder_links(cfg2.seed, Y, X, 0.25)
+    jb = tuple(lattice.links_to_color_planes(v, h, BLACK))
+    jw = tuple(lattice.links_to_color_planes(v, h, WHITE))
+    vn, hn = np.asarray(v), np.asarray(h)
+    thr = ising.threshold_table(cfg2.temperature)
+    full = naive_init(cfg2.seed, Y, X)
+    for step in range(2):
+        full = naive_step(full, thr, cfg2.seed, step, mode="philox7b",
+                          temp=cfg2.temperature, v=vn, h=hn)
+    b, w = run_backend_steps(cfg2, 2, jplanes_b=jb, jplanes_w=jw)
+    np.testing.assert_array_equal(
+        np.asarray(lattice.compact_to_full(b, w)), full)
+
+
 def test_sweep_matches_naive_near_critical():
     cfg = SimConfig(nrows=8, ncols=16, temp=2.3, seed=31337, backend="xla",
                     rng="philox")
