@@ -93,27 +93,51 @@ def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
     i.i.d. random bit per spin. Processing planes LSB-first, the strict
     compare "v < t" obeys  a' = t_z ? (~u | a) : (~u & a)  — the threshold
     bits are STATIC, so each plane costs one ~ shared by both accumulators
-    plus one |/& each (3 vector ops per plane for both classes), with no
-    per-spin compare, no weight select and no OR-pack tree. The coin plane
-    (greedy dE == 0 half-accept) reuses plane 0: its class is disjoint from
-    the thresholded classes, so per spin only one of the three variables is
-    ever consumed.
+    plus one |/& each, with no per-spin compare, no weight select and no
+    OR-pack tree. Runs of planes whose (t4, t8) bit PAIR repeats fold into
+    one combined chain (bitwise-identical output, fewer ops):
+
+        a &= ~u1; a &= ~u2; ...  ==  a &= ~(u1 | u2 | ...)
+        a |= ~u1; a |= ~u2; ...  ==  a |= ~(u1 & u2 & ...)
+
+    which matters because real thresholds have long same-pair runs (both
+    classes' high bits are zero below T_c). The coin plane (greedy dE == 0
+    half-accept) reuses plane 0: its class is disjoint from the thresholded
+    classes, so per spin only one of the three variables is ever consumed.
     """
-    a4 = a8 = coin = None
-    for z in range(kbits):
-        u = draws[:, z * W1:(z + 1) * W1]
-        if coin is None:
-            coin = u
-        nu = ~u
-        if (t4k >> z) & 1:
-            a4 = nu if a4 is None else (nu | a4)
-        elif a4 is not None:
-            a4 = nu & a4
-        if (t8k >> z) & 1:
-            a8 = nu if a8 is None else (nu | a8)
-        elif a8 is not None:
-            a8 = nu & a8
-    zero = jnp.zeros_like(draws[:, :W1])
+    planes = [draws[:, z * W1:(z + 1) * W1] for z in range(kbits)]
+    coin = planes[0]
+
+    a4 = a8 = None
+    z = 0
+    while z < kbits:
+        pair = ((t4k >> z) & 1, (t8k >> z) & 1)
+        z2 = z
+        while z2 < kbits and ((t4k >> z2) & 1, (t8k >> z2) & 1) == pair:
+            z2 += 1
+        run = planes[z:z2]
+        fand = for_ = None  # computed at most once per run, shared
+        for bit, a, set_ in ((pair[0], a4, 0), (pair[1], a8, 1)):
+            if bit:
+                if fand is None:
+                    fand = run[0]
+                    for u in run[1:]:
+                        fand = fand & u
+                new = ~fand if a is None else (~fand | a)
+            elif a is None:
+                new = None
+            else:
+                if for_ is None:
+                    for_ = run[0]
+                    for u in run[1:]:
+                        for_ = for_ | u
+                new = a & ~for_
+            if set_ == 0:
+                a4 = new
+            else:
+                a8 = new
+        z = z2
+    zero = jnp.zeros_like(planes[0])
     return (a4 if a4 is not None else zero,
             a8 if a8 is not None else zero, coin)
 
