@@ -51,3 +51,30 @@ def test_packed_matches_xla_random(kw):
                                   err_msg=f"case {kw} rng={rng}")
     np.testing.assert_array_equal(np.asarray(wx), np.asarray(wp),
                                   err_msg=f"case {kw} rng={rng}")
+
+
+def bit1_cases(n, master_seed=20260817):
+    """Random geometries legal for bit1 (ncols % 64, no disorder/replica)."""
+    rs = np.random.RandomState(master_seed)
+    return [dict(nrows=2 * int(rs.randint(2, 20)),
+                 ncols=64 * int(rs.randint(1, 5)),
+                 temp=float(rs.choice([0.0, 0.8, 1.5, 2.269, 3.5, 8.0])),
+                 seed=int(rs.randint(1, 2 ** 50)))
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("kw", bit1_cases(8))
+def test_bit1_matches_xla_random(kw):
+    """Random sweep over the bit1 tier incl. the bit-plane rng modes."""
+    rngs = ["philox", "threefry13", "philox7b", "threefry13b"]
+    rng = rngs[kw["seed"] % 4]
+    s_x = Simulation(SimConfig(backend="xla", rng=rng, **kw))
+    s_b = Simulation(SimConfig(backend="bit1", rng=rng, **kw))
+    s_x.advance(3)
+    s_b.advance(3)
+    bx, wx = s_x.bits()
+    bb, wb = s_b.bits()
+    np.testing.assert_array_equal(np.asarray(bx), np.asarray(bb),
+                                  err_msg=f"case {kw} rng={rng}")
+    np.testing.assert_array_equal(np.asarray(wx), np.asarray(wb),
+                                  err_msg=f"case {kw} rng={rng}")
