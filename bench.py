@@ -54,7 +54,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ising_tpu import SimConfig, get_backend
-    from ising_tpu.lattice import init_bits
+    from ising_tpu.lattice import init_store
     from ising_tpu.models import ising
     from ising_tpu.parallel import make_sharded_stepper
 
@@ -78,8 +78,7 @@ def main(argv=None):
     cfg = SimConfig(nrows=nrows, ncols=ncols, temp=1.5, backend=backend,
                     rng=args.rng)
     be = get_backend(cfg)
-    b, w = init_bits(cfg.seed, cfg.nrows, cfg.ncols)
-    b, w = be.encode(b, w)
+    b, w = init_store(cfg.seed, cfg.nrows, cfg.ncols, be.encode)
     thr = jnp.asarray(ising.threshold_table(cfg.temperature))
     _, step_n = make_sharded_stepper(cfg, be)
 

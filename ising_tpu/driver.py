@@ -24,7 +24,7 @@ from .constants import BLACK, MIN_TEMP, TGT_MAGN_MAX_DIFF, WHITE
 from . import io as lio
 from . import observables
 from .checkpoint import save_checkpoint
-from .lattice import init_bits, links_to_color_planes
+from .lattice import init_store, links_to_color_planes
 from .models import ising
 from .ops import get_backend
 from .parallel import make_sharded_stepper
@@ -98,10 +98,13 @@ class Simulation:
             cfg, self.backend, mesh=mesh, jplanes=jplanes)
 
         if state is None:
-            b, w = init_bits(cfg.seed, cfg.nrows, cfg.ncols)
+            # Row-chunked init in storage domain: bit-identical to the
+            # one-shot path, O(chunk) transient memory (65536^2+ lattices
+            # OOM otherwise while their storage fits easily).
+            b, w = init_store(cfg.seed, cfg.nrows, cfg.ncols,
+                              self.backend.encode)
         else:
-            b, w = state
-        b, w = self.backend.encode(b, w)
+            b, w = self.backend.encode(*state)
         if self.shardings["plane"] is not None:
             b = jax.device_put(b, self.shardings["plane"])
             w = jax.device_put(w, self.shardings["plane"])

@@ -47,6 +47,33 @@ def init_bits(seed: int, nrows: int, ncols: int, *, row0: int = 0,
     return planes[0], planes[1]
 
 
+def init_store(seed: int, nrows: int, ncols: int, encode,
+               chunk_rows: int = 8192):
+    """Random initial state directly in backend storage, row-chunked.
+
+    init_bits materializes (rows, ncols/2) uint32 draw planes; at the
+    reference's large shapes (65536^2 and up, optimized/README.md:291-295)
+    that transient is several GB and OOMs the chip even though the packed/
+    bit1 STORAGE fits easily. Since the init stream is counter-based and
+    row-indexed, and every backend's encode is row-local, initializing in
+    row chunks is bit-identical to the one-shot path (tested) with peak
+    transient memory O(chunk_rows * ncols).
+    """
+    if nrows <= chunk_rows:
+        b, w = init_bits(seed, nrows, ncols)
+        return encode(b, w)
+    if nrows % chunk_rows:
+        # keep chunks uniform (and even-height for parity); fall back to
+        # the largest even divisor <= chunk_rows
+        chunk_rows = next(c for c in range(chunk_rows, 1, -2)
+                          if nrows % c == 0)
+    chunks = [encode(*init_bits(seed, nrows, ncols, row0=r,
+                                local_rows=chunk_rows))
+              for r in range(0, nrows, chunk_rows)]
+    return (jnp.concatenate([c[0] for c in chunks], axis=0),
+            jnp.concatenate([c[1] for c in chunks], axis=0))
+
+
 def compact_to_full(black, white):
     """Merge compact planes into the full (Y, X) lattice of {0,1} bits."""
     nrows, ch = black.shape

@@ -64,3 +64,24 @@ def test_bits_to_spins():
     bits = jnp.asarray([[0, 1], [1, 0]], jnp.uint8)
     s = np.asarray(lattice.bits_to_spins(bits))
     np.testing.assert_array_equal(s, [[-1, 1], [1, -1]])
+
+
+def test_init_store_chunked_matches_one_shot():
+    """Row-chunked storage init is bit-identical to the one-shot path."""
+    from ising_tpu import SimConfig, get_backend
+    seed = 77
+    for backend in ("xla", "packed", "bit1"):
+        cfg = SimConfig(nrows=32, ncols=64, temp=1.5, backend=backend)
+        be = get_backend(cfg)
+        one = be.encode(*lattice.init_bits(seed, 32, 64))
+        chunked = lattice.init_store(seed, 32, 64, be.encode, chunk_rows=8)
+        np.testing.assert_array_equal(np.asarray(one[0]),
+                                      np.asarray(chunked[0]), backend)
+        np.testing.assert_array_equal(np.asarray(one[1]),
+                                      np.asarray(chunked[1]), backend)
+    # non-dividing chunk_rows falls back to an even divisor
+    cfg = SimConfig(nrows=24, ncols=64, temp=1.5, backend="xla")
+    be = get_backend(cfg)
+    one = be.encode(*lattice.init_bits(seed, 24, 64))
+    chunked = lattice.init_store(seed, 24, 64, be.encode, chunk_rows=10)
+    np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(chunked[0]))
