@@ -61,30 +61,71 @@ def _col_parity_planes(black, white):
 
 
 @jax.jit
-def energy_row_sums(black, white, v=None, h=None):
+def _energy_block(e_ext, o_ext, vh=None, hh=None):
+    """Per-row bond-energy sums for one row slab (one wrap row appended)."""
+    R = e_ext.shape[0] - 1
+    e0, o0 = e_ext[:R], o_ext[:R]
+    ncols = 2 * e0.shape[1]
+    # Horizontal bonds (y,2j)-(y,2j+1) and (y,2j+1)-(y,2j+2 mod X).
+    hx1 = e0 ^ o0
+    hx2 = o0 ^ jnp.roll(e0, -1, axis=1)
+    # Vertical bonds (y,x)-(y+1 mod Y, x), split by column parity; the
+    # row-below view is a SLICE of the extended slab, not a plane roll.
+    vx1 = e0 ^ e_ext[1:R + 1]
+    vx2 = o0 ^ o_ext[1:R + 1]
+    if hh is not None:
+        hx1 = hx1 ^ hh[:, 0::2]
+        hx2 = hx2 ^ hh[:, 1::2]
+    if vh is not None:
+        vx1 = vx1 ^ vh[:, 0::2]
+        vx2 = vx2 ^ vh[:, 1::2]
+    anti = jnp.sum((hx1 + hx2 + vx1 + vx2).astype(jnp.uint32), axis=1)
+    return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
+
+
+def energy_row_sums(black, white, v=None, h=None, row_chunk: int = 8192):
     """Per-row exact bond-energy sums, int32: sum_x (J_r s s_right + J_d s s_down).
 
     v/h are optional full-lattice antiferro link flags (J = 1 - 2*flag).
     Counts each bond once (right + down neighbor of every site). Computed
     as XOR counts on the compact planes: each row has ncols horizontal +
     ncols vertical bonds, and sum(s_i s_j) = #bonds - 2 * #antialigned.
+    Row-chunked like correlation_row_sums, so peak device memory stays
+    O(row_chunk * ncols) at any lattice height (the column-parity planes
+    are extracted per slab, never whole).
     """
-    e, o = _col_parity_planes(black, white)
-    ncols = 2 * e.shape[1]
-    # Horizontal bonds (y,2j)-(y,2j+1) and (y,2j+1)-(y,2j+2 mod X).
-    hx1 = e ^ o
-    hx2 = o ^ jnp.roll(e, -1, axis=1)
-    # Vertical bonds (y,x)-(y+1 mod Y, x), split by column parity.
-    vx1 = e ^ jnp.roll(e, -1, axis=0)
-    vx2 = o ^ jnp.roll(o, -1, axis=0)
-    if h is not None:
-        hx1 = hx1 ^ h[:, 0::2]
-        hx2 = hx2 ^ h[:, 1::2]
-    if v is not None:
-        vx1 = vx1 ^ v[:, 0::2]
-        vx2 = vx2 ^ v[:, 1::2]
-    anti = jnp.sum((hx1 + hx2 + vx1 + vx2).astype(jnp.uint32), axis=1)
-    return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
+    Y = black.shape[0]
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    parts = []
+    for r in range(0, Y, R):
+        e_ext, o_ext = _col_parity_planes(_rows_wrap(black, r, R + 1),
+                                          _rows_wrap(white, r, R + 1))
+        parts.append(_energy_block(
+            e_ext, o_ext,
+            None if v is None else v[r:r + R],
+            None if h is None else h[r:r + R]))
+        _fence(parts[-1])
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _rows_wrap(x, r: int, n: int):
+    """Rows [r, r+n) with periodic wrap, as slices (no gather: TPU gathers
+    of multi-GB operands allocate far more than the slice result)."""
+    Y = x.shape[0]
+    if r + n <= Y:
+        return x[r:r + n]
+    return jnp.concatenate([x[r:Y], x[:r + n - Y]], axis=0)
+
+
+def _fence(x):
+    """Serialize slab dispatch outside tracing: async dispatch would queue
+    every slab's multi-GB transients concurrently and OOM at 131072x65536+
+    (verified on hardware); blocking per slab bounds live memory to one
+    slab. No-op on tracers so the functions stay jit/make_jaxpr-safe."""
+    if not isinstance(x, jax.core.Tracer):
+        jax.block_until_ready(x)
 
 
 def _tile_roll(x, shift: int, tile: int, axis: int):
@@ -97,20 +138,21 @@ def _tile_roll(x, shift: int, tile: int, axis: int):
     return jnp.roll(x.reshape(new), -shift, axis=axis + 1).reshape(shp)
 
 
-@functools.partial(jax.jit, static_argnames=("corr_len", "xsl", "ysl"))
-def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
-                         xsl: int | None = None, ysl: int | None = None):
-    """Exact per-(offset, row) correlation sums, int32 of shape (corr_len, Y).
+@functools.partial(jax.jit, static_argnames=("corr_len", "csl", "ytile"))
+def _corr_block(e_ext, o_ext, corr_len: int, csl: int, ytile: int | None):
+    """Per-offset row sums for one row slab.
 
-    Entry [d-1, y] = sum_x [s(y,x)s(y,x+d) + s(y,x)s(y+d,x)], shifts periodic
-    in the full lattice, or wrapping inside xsl x ysl replica tiles when
-    given (reference getCorr2DRepl_k, optimized/main.cu:967-1070).
+    e_ext/o_ext carry `corr_len` extra wrap rows at the bottom when ytile
+    is None (full-lattice vertical shift via SLICES — no whole-plane rolls,
+    which is what keeps peak memory at O(slab) and lets XLA fuse each
+    offset's XOR+add into its row reduction). In replica mode (ytile set)
+    the slab is ysl-aligned and self-contained, so vertical wrap is an
+    in-slab tile roll and no extra rows are passed.
     """
-    e, o = _col_parity_planes(black, white)
-    Y, ch = e.shape
+    R = e_ext.shape[0] - (0 if ytile is not None else corr_len)
+    ch = e_ext.shape[1]
     ncols = 2 * ch
-    csl = (xsl // 2) if xsl is not None else ch
-    ytile = ysl if ysl is not None else Y
+    e0, o0 = e_ext[:R], o_ext[:R]
 
     def one(d):
         # Horizontal offset d: even d pairs same column parity, odd d
@@ -118,18 +160,70 @@ def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
         dh = d // 2
         deven = (d % 2) == 0
         if_even = lambda a, b: a if deven else b
-        hx1 = e ^ _tile_roll(if_even(e, o), if_even(dh, dh), csl, 1)
-        hx2 = o ^ _tile_roll(if_even(o, e), if_even(dh, dh + 1), csl, 1)
+        hx1 = e0 ^ _tile_roll(if_even(e0, o0), if_even(dh, dh), csl, 1)
+        hx2 = o0 ^ _tile_roll(if_even(o0, e0), if_even(dh, dh + 1), csl, 1)
         # Vertical offset d: always same column parity.
-        vx1 = e ^ _tile_roll(e, d, ytile, 0)
-        vx2 = o ^ _tile_roll(o, d, ytile, 0)
+        if ytile is not None:
+            vx1 = e0 ^ _tile_roll(e0, d, ytile, 0)
+            vx2 = o0 ^ _tile_roll(o0, d, ytile, 0)
+        else:
+            vx1 = e0 ^ e_ext[d:R + d]
+            vx2 = o0 ^ o_ext[d:R + d]
         anti = jnp.sum((hx1 + hx2 + vx1 + vx2).astype(jnp.uint32), axis=1)
-        return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)  # (Y,)
+        return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)  # (R,)
 
     # Sequential map over offsets, not vmap: batching would materialize a
-    # (corr_len, Y, X/2) intermediate — gigabytes at production sizes. The
-    # offsets are static Python ints so the roll amounts stay constant.
+    # (corr_len, R, X/2) intermediate — gigabytes at production sizes. The
+    # offsets are static Python ints so the shift amounts stay constant.
     return jnp.stack([one(d) for d in range(1, corr_len + 1)])
+
+
+def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
+                         xsl: int | None = None, ysl: int | None = None,
+                         row_chunk: int = 8192):
+    """Exact per-(offset, row) correlation sums, int32 of shape (corr_len, Y).
+
+    Entry [d-1, y] = sum_x [s(y,x)s(y,x+d) + s(y,x)s(y+d,x)], shifts periodic
+    in the full lattice, or wrapping inside xsl x ysl replica tiles when
+    given (reference getCorr2DRepl_k, optimized/main.cu:967-1070).
+
+    Computed in row slabs of ~row_chunk rows: at the reference's 65536^2+
+    sizes a whole-plane formulation OOMs (128 offsets x several
+    1-byte/site roll intermediates scheduled concurrently), while slab
+    slices keep the peak at O(row_chunk * ncols) and one compiled block
+    program is reused across slabs.
+    """
+    Y, ch = black.shape
+    csl = (xsl // 2) if xsl is not None else ch
+    if ysl is not None:
+        # Replica slabs must be ysl-aligned to stay self-contained, and
+        # even-height so per-slab parity extraction stays global-correct.
+        R = (row_chunk // ysl) * ysl if ysl <= row_chunk else Y
+        R = R or Y
+        ytile = ysl
+    else:
+        R = min(Y, row_chunk)
+        ytile = None
+    while Y % R:
+        R -= ysl if ysl is not None else 2
+    if R % 2:
+        R = Y  # odd replica tile: fall back to one slab
+        ytile = ysl
+    parts = []
+    for r in range(0, Y, R):
+        # Column-parity planes are extracted per slab (local parity equals
+        # global parity: r, R and Y are all even), never for the whole
+        # lattice — that transient alone is ncols bytes/site.
+        if ytile is not None:
+            e_ext, o_ext = _col_parity_planes(black[r:r + R],
+                                              white[r:r + R])
+        else:
+            e_ext, o_ext = _col_parity_planes(
+                _rows_wrap(black, r, R + corr_len),
+                _rows_wrap(white, r, R + corr_len))
+        parts.append(_corr_block(e_ext, o_ext, corr_len, csl, ytile))
+        _fence(parts[-1])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
 # ----------------------------------------------------------------------------

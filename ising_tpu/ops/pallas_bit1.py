@@ -360,7 +360,22 @@ class Bit1Backend:
         return pack_bits1(black_bits), pack_bits1(white_bits)
 
     def decode(self, black_store, white_store):
-        return unpack_bits1(black_store), unpack_bits1(white_store)
+        # Row-chunked at large heights: unpack's 32 shifted word planes
+        # would otherwise transiently cost 32x the storage (OOM at the
+        # reference's 131072x65536+ shapes, which fit this tier easily).
+        Y = black_store.shape[0]
+        chunk = 8192
+        if Y <= chunk:
+            return unpack_bits1(black_store), unpack_bits1(white_store)
+        outs = ([], [])
+        for r in range(0, Y, chunk):
+            outs[0].append(unpack_bits1(black_store[r:r + chunk]))
+            outs[1].append(unpack_bits1(white_store[r:r + chunk]))
+            if not isinstance(outs[0][-1], jax.core.Tracer):
+                # serialize chunk dispatch: async queuing would hold every
+                # chunk's transients live at once and OOM (seen on hw)
+                jax.block_until_ready((outs[0][-1], outs[1][-1]))
+        return jnp.concatenate(outs[0]), jnp.concatenate(outs[1])
 
     def row_up_counts(self, black_store, white_store):
         """Popcount magnetization straight on the 1-bit words."""

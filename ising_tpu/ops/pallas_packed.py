@@ -818,7 +818,20 @@ class PackedBackend:
         return pack_bits(black_bits), pack_bits(white_bits)
 
     def decode(self, black_store, white_store):
-        return unpack_bits(black_store), unpack_bits(white_store)
+        # Row-chunked at large heights (see Bit1Backend.decode).
+        Y = black_store.shape[0]
+        chunk = 8192
+        if Y <= chunk:
+            return unpack_bits(black_store), unpack_bits(white_store)
+        outs = ([], [])
+        for r in range(0, Y, chunk):
+            outs[0].append(unpack_bits(black_store[r:r + chunk]))
+            outs[1].append(unpack_bits(white_store[r:r + chunk]))
+            if not isinstance(outs[0][-1], jax.core.Tracer):
+                # serialize chunk dispatch: async queuing would hold every
+                # chunk's transients live at once and OOM (seen on hw)
+                jax.block_until_ready((outs[0][-1], outs[1][-1]))
+        return jnp.concatenate(outs[0]), jnp.concatenate(outs[1])
 
     def fusable(self, nrows: int) -> bool:
         """Whether the fused both-colors step applies (single device, no

@@ -123,3 +123,36 @@ def test_no_full_int32_materialization():
     assert_no_wide_full(
         jax.make_jaxpr(lambda: observables.correlation_row_sums(b, w, 4))()
         .jaxpr)
+
+
+def test_correlation_row_chunking_exact():
+    """Row-chunked correlation == single-chunk, full and replica modes."""
+    import jax.numpy as jnp
+    rs = np.random.RandomState(9)
+    full = rs.randint(0, 2, (16, 32)).astype(np.uint8)
+    from ising_tpu import lattice
+    b, w = lattice.full_to_compact(jnp.asarray(full))
+    one = observables.correlation_row_sums(b, w, 5)
+    for chunk in (2, 4, 6, 8):
+        got = observables.correlation_row_sums(b, w, 5, row_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(got), chunk)
+    onr = observables.correlation_row_sums(b, w, 3, xsl=8, ysl=4)
+    for chunk in (4, 8, 12):
+        got = observables.correlation_row_sums(b, w, 3, xsl=8, ysl=4,
+                                               row_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(onr), np.asarray(got), chunk)
+
+
+def test_energy_row_chunking_exact():
+    import jax.numpy as jnp
+    from ising_tpu import lattice
+    rs = np.random.RandomState(10)
+    full = rs.randint(0, 2, (16, 32)).astype(np.uint8)
+    v = rs.randint(0, 2, (16, 32)).astype(np.uint8)
+    h = rs.randint(0, 2, (16, 32)).astype(np.uint8)
+    b, w = lattice.full_to_compact(jnp.asarray(full))
+    one = observables.energy_row_sums(b, w, jnp.asarray(v), jnp.asarray(h))
+    for chunk in (2, 4, 8):
+        got = observables.energy_row_sums(b, w, jnp.asarray(v),
+                                          jnp.asarray(h), row_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(got), chunk)
