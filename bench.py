@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--cols", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--ndev", type=int, default=1,
+                    help="shard over an n-device mesh (weak-scaling bench; "
+                         "needs n visible devices)")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,12 +78,19 @@ def main(argv=None):
     steps = args.steps or p["steps"]
     warm = p["warm"]
 
+    if args.ndev > len(jax.devices()):
+        print(json.dumps({"error": f"--ndev {args.ndev} but only "
+                          f"{len(jax.devices())} devices visible"}))
+        return 1
     cfg = SimConfig(nrows=nrows, ncols=ncols, temp=1.5, backend=backend,
-                    rng=args.rng)
+                    rng=args.rng, ndev=args.ndev)
     be = get_backend(cfg)
     b, w = init_store(cfg.seed, cfg.nrows, cfg.ncols, be.encode)
     thr = jnp.asarray(ising.threshold_table(cfg.temperature))
-    _, step_n = make_sharded_stepper(cfg, be)
+    shardings, step_n = make_sharded_stepper(cfg, be)
+    if shardings["plane"] is not None:
+        b = jax.device_put(b, shardings["plane"])
+        w = jax.device_put(w, shardings["plane"])
 
     def sync(x):
         # On the axon tunnel block_until_ready can return before remote
@@ -128,6 +138,8 @@ def main(argv=None):
     detail = {"backend": backend, "rng": args.rng, "platform": platform,
               "lattice": f"{nrows}x{ncols}", "steps": steps,
               "elapsed_s": round(elapsed, 4)}
+    if args.ndev > 1:
+        detail["ndev"] = args.ndev
     if clamped:
         detail["clamped"] = True
     print(json.dumps({
