@@ -256,9 +256,27 @@ class Simulation:
         return (f"corr_{self.cfg.nrows}x{self.cfg.ncols}"
                 f"_T_{self.temp:f}_{self.cfg.seed}")
 
+    def energy(self) -> float:
+        """Internal energy per spin (word-domain fast path when available)."""
+        if self.links is None and hasattr(self.backend, "energy_rows"):
+            rows = np.asarray(jax.device_get(
+                self.backend.energy_rows(self.black, self.white)),
+                np.int64).sum()
+            return -float(rows) / self.cfg.nspins
+        v, h = self.links if self.links is not None else (None, None)
+        return observables.energy_per_spin(*self.bits(), v, h)
+
     def _append_corr(self, it: int):
-        b, w = self.bits()
-        c = observables.correlation(b, w, xsl=self.cfg.xsl, ysl=self.cfg.ysl)
+        if self.cfg.xsl is None and hasattr(self.backend, "corr_rows"):
+            # Word-domain correlation: no decode of the full bit planes.
+            from .constants import MAX_CORR_LEN
+            rows = np.asarray(jax.device_get(self.backend.corr_rows(
+                self.black, self.white, MAX_CORR_LEN)), np.int64)
+            c = rows.sum(axis=1) / (2.0 * self.cfg.nspins)
+        else:
+            b, w = self.bits()
+            c = observables.correlation(b, w, xsl=self.cfg.xsl,
+                                        ysl=self.cfg.ysl)
         with open(self._corr_path(), "a") as f:
             f.write(f"{it:10d}")
             for val in c:

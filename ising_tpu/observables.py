@@ -112,11 +112,18 @@ def energy_row_sums(black, white, v=None, h=None, row_chunk: int = 8192):
 
 def _rows_wrap(x, r: int, n: int):
     """Rows [r, r+n) with periodic wrap, as slices (no gather: TPU gathers
-    of multi-GB operands allocate far more than the slice result)."""
+    of multi-GB operands allocate far more than the slice result). Handles
+    n > Y (tiny lattices with corr_len > Y) by repeating whole periods."""
     Y = x.shape[0]
     if r + n <= Y:
         return x[r:r + n]
-    return jnp.concatenate([x[r:Y], x[:r + n - Y]], axis=0)
+    pieces = [x[r:Y]]
+    n -= Y - r
+    while n > Y:
+        pieces.append(x)
+        n -= Y
+    pieces.append(x[:n])
+    return jnp.concatenate(pieces, axis=0)
 
 
 def _fence(x):
@@ -257,6 +264,113 @@ def correlation(black, white, corr_len: int = MAX_CORR_LEN,
         correlation_row_sums(black, white, corr_len, xsl, ysl)), dtype=np.int64)
     n = black.size + white.size
     return rows.sum(axis=1) / (2.0 * n)
+
+
+# ----------------------------------------------------------------------------
+# Word-domain observables for the bit1 tier (1 bit/spin, bit g of word j =
+# compact column g*W1 + j). Bond products stay XORs on words; row sums are
+# popcounts — no decode to byte planes, so the full measurement pipeline
+# (magnetization + energy + 128-offset correlation) runs at shapes whose
+# DECODED planes would not even fit (e.g. 524288 x 65536 on one chip).
+# The reference's analog is its in-place packed reductions
+# (optimized/main.cu:702-734, 870-1070).
+
+def _rotr32(x, k: int):
+    k %= 32
+    if k == 0:
+        return x
+    return (x >> k) | (x << (32 - k))
+
+
+def _col_shift_words(x, d: int):
+    """Word plane of the (compact column + d) neighbor, periodic.
+
+    Column of bit g, lane j is g*W1 + j, so col+d = bit (g + d//W1 [+1 on
+    lane carry]) mod 32, lane (j + d) % W1 — i.e. a bit rotation, a lane
+    roll, and one boundary select; rotating past bit 31 wraps by exactly
+    32*W1 = C columns, which is the periodic wrap.
+    """
+    W1 = x.shape[1]
+    db, dl = divmod(d, W1)
+    lo = _rotr32(x, db)
+    if dl == 0:
+        return lo
+    hi = _rotr32(x, db + 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < W1 - dl, jnp.roll(lo, -dl, axis=1),
+                     jnp.roll(hi, -dl, axis=1))
+
+
+def _popcount_rows(x):
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.uint32), axis=1)
+
+
+@jax.jit
+def _bit1_energy_block(e_ext, o_ext):
+    """Word-domain analog of _energy_block (no disorder: bit1 has none)."""
+    R = e_ext.shape[0] - 1
+    e0, o0 = e_ext[:R], o_ext[:R]
+    ncols = 2 * 32 * e0.shape[1]
+    anti = (_popcount_rows(e0 ^ o0)
+            + _popcount_rows(o0 ^ _col_shift_words(e0, 1))
+            + _popcount_rows(e0 ^ e_ext[1:R + 1])
+            + _popcount_rows(o0 ^ o_ext[1:R + 1]))
+    return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
+
+
+def bit1_energy_row_sums(black_w, white_w, row_chunk: int = 8192):
+    """energy_row_sums computed directly on bit1 word storage."""
+    Y = black_w.shape[0]
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    parts = []
+    for r in range(0, Y, R):
+        e_ext, o_ext = _col_parity_planes(_rows_wrap(black_w, r, R + 1),
+                                          _rows_wrap(white_w, r, R + 1))
+        parts.append(_bit1_energy_block(e_ext, o_ext))
+        _fence(parts[-1])
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("corr_len",))
+def _bit1_corr_block(e_ext, o_ext, corr_len: int):
+    """Word-domain analog of _corr_block (full-lattice wrap only)."""
+    R = e_ext.shape[0] - corr_len
+    ncols = 2 * 32 * e_ext.shape[1]
+    e0, o0 = e_ext[:R], o_ext[:R]
+
+    def one(d):
+        dh = d // 2
+        deven = (d % 2) == 0
+        if_even = lambda a, b: a if deven else b
+        hx1 = e0 ^ _col_shift_words(if_even(e0, o0), if_even(dh, dh))
+        hx2 = o0 ^ _col_shift_words(if_even(o0, e0), if_even(dh, dh + 1))
+        vx1 = e0 ^ e_ext[d:R + d]
+        vx2 = o0 ^ o_ext[d:R + d]
+        anti = (_popcount_rows(hx1) + _popcount_rows(hx2)
+                + _popcount_rows(vx1) + _popcount_rows(vx2))
+        return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
+
+    return jnp.stack([one(d) for d in range(1, corr_len + 1)])
+
+
+def bit1_correlation_row_sums(black_w, white_w,
+                              corr_len: int = MAX_CORR_LEN,
+                              row_chunk: int = 8192):
+    """correlation_row_sums computed directly on bit1 word storage."""
+    Y = black_w.shape[0]
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    parts = []
+    for r in range(0, Y, R):
+        e_ext, o_ext = _col_parity_planes(
+            _rows_wrap(black_w, r, R + corr_len),
+            _rows_wrap(white_w, r, R + corr_len))
+        parts.append(_bit1_corr_block(e_ext, o_ext, corr_len))
+        _fence(parts[-1])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
 def packed_row_up_counts(black_w, white_w):

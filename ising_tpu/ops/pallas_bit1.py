@@ -384,6 +384,18 @@ class Bit1Backend:
                            axis=1)
         return rows(black_store) + rows(white_store)
 
+    # Word-domain energy/correlation (observables.py): XOR + popcount on
+    # the packed words, no decode — the full measurement pipeline runs at
+    # shapes whose decoded byte planes would not fit (e.g. 524288x65536).
+    def energy_rows(self, black_store, white_store):
+        from .. import observables
+        return observables.bit1_energy_row_sums(black_store, white_store)
+
+    def corr_rows(self, black_store, white_store, corr_len):
+        from .. import observables
+        return observables.bit1_correlation_row_sums(
+            black_store, white_store, corr_len)
+
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
         assert jplanes is None

@@ -156,3 +156,58 @@ def test_energy_row_chunking_exact():
         got = observables.energy_row_sums(b, w, jnp.asarray(v),
                                           jnp.asarray(h), row_chunk=chunk)
         np.testing.assert_array_equal(np.asarray(one), np.asarray(got), chunk)
+
+
+def test_bit1_word_observables_match_decoded():
+    """Word-domain energy/correlation on bit1 storage == decoded-plane path.
+
+    ncols=64 gives W1=1 (every column shift is a pure bit rotation) and
+    ncols=256 gives W1=4 (lane rolls + boundary selects + rotations for
+    d > W1) — both compared bit-for-bit, incl. row chunking."""
+    import jax.numpy as jnp
+    from ising_tpu import SimConfig, get_backend, lattice
+    for ncols in (64, 256):
+        cfg = SimConfig(nrows=16, ncols=ncols, temp=1.5, backend="bit1")
+        be = get_backend(cfg)
+        b8, w8 = lattice.init_bits(123, 16, ncols)
+        bs, ws = be.encode(b8, w8)
+        want_e = observables.energy_row_sums(b8, w8)
+        got_e = observables.bit1_energy_row_sums(bs, ws)
+        np.testing.assert_array_equal(np.asarray(want_e), np.asarray(got_e))
+        got_e2 = observables.bit1_energy_row_sums(bs, ws, row_chunk=4)
+        np.testing.assert_array_equal(np.asarray(want_e), np.asarray(got_e2))
+        corr_len = 9  # crosses d > W1 and odd/even splits
+        want_c = observables.correlation_row_sums(b8, w8, corr_len)
+        got_c = observables.bit1_correlation_row_sums(bs, ws, corr_len)
+        np.testing.assert_array_equal(np.asarray(want_c), np.asarray(got_c))
+        got_c2 = observables.bit1_correlation_row_sums(bs, ws, corr_len,
+                                                       row_chunk=4)
+        np.testing.assert_array_equal(np.asarray(want_c), np.asarray(got_c2))
+
+
+def test_driver_energy_and_corr_word_path(tmp_path):
+    """Simulation.energy() and corr files agree between bit1 (word path)
+    and xla (decoded path) in a bit-reproducible rng mode."""
+    import os
+    from ising_tpu import SimConfig
+    from ising_tpu.driver import Simulation
+    base = dict(nrows=16, ncols=64, temp=1.6, seed=77, rng="philox7b",
+                niters=2)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sims = {}
+        for bk in ("xla", "bit1"):
+            s = Simulation(SimConfig(backend=bk, **base))
+            s.advance(2)
+            sims[bk] = s
+        assert sims["xla"].energy() == pytest.approx(sims["bit1"].energy())
+        for bk in ("xla", "bit1"):
+            sims[bk]._append_corr(2)
+        files = sorted(os.listdir("."))
+        assert len(files) == 1  # same path -> both appended to one file
+        lines = open(files[0]).read().strip().splitlines()
+        assert len(lines) == 2
+        assert lines[0].split() == lines[1].split()  # identical values
+    finally:
+        os.chdir(cwd)
