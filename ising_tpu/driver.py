@@ -284,15 +284,23 @@ class Simulation:
             f.write("\n")
 
     def _dump(self, it: int):
-        b, w = self.bits()
         name = (f"lattice_{self.cfg.nrows}x{self.cfg.ncols}"
                 f"_T_{self.temp:f}_IT_{it:08d}.txt")
         if self.cfg.ndev > 1:
             # One file per row-slab shard, like the reference's per-GPU
             # files (optimized/main.cu:1180) — no whole-lattice host gather.
+            b, w = self.bits()
             lio.dump_lattice_sharded(name, b, w, fmt="hex")
+        elif self.cfg.nrows * self.cfg.ncols >= (1 << 30):
+            # Giant single-device lattice: stream row chunks (one chunk of
+            # decoded bits on the host at a time, same file bytes).
+            be = self.backend
+            lio.dump_lattice_streamed(
+                name, lambda r0, r1: be.decode(self.black[r0:r1],
+                                               self.white[r0:r1]),
+                self.cfg.nrows)
         else:
-            lio.dump_lattice(name, b, w, fmt="hex")
+            lio.dump_lattice(name, *self.bits(), fmt="hex")
 
     def checkpoint(self, path: str):
         b, w = self.bits()

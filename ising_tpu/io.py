@@ -84,6 +84,30 @@ def lattice_image(black, white) -> np.ndarray:
     return np.asarray(bits_to_spins(compact_to_full(black, white)))
 
 
+def dump_lattice_streamed(path: str, decode_rows, nrows: int,
+                          fmt: str = "hex", row_chunk: int = 8192) -> None:
+    """Row-streamed dump: decode_rows(r0, r1) -> (black, white) compact bit
+    planes for rows [r0, r1). Writes the same byte-identical formats as
+    dump_lattice while holding only one row chunk on the host — the
+    single-device analog of the per-shard dump below (the reference
+    likewise never gathers more than one GPU's slab, optimized/main.cu:1180).
+    """
+    if fmt not in ("hex", "txt"):
+        raise ValueError(f"unknown dump format {fmt!r}")
+    with open(path, "wb") as f:
+        for r in range(0, nrows, row_chunk):
+            b, w = decode_rows(r, min(nrows, r + row_chunk))
+            full = full_bits_host(b, w)
+            if fmt == "hex":
+                chars = full + ord("0")
+                for row in chars:
+                    f.write(row.tobytes())
+                    f.write(b"\n")
+            else:
+                spins = 2 * full.astype(np.int8) - 1
+                np.savetxt(f, spins, fmt="%d")
+
+
 # ----------------------------------------------------------------------------
 # Per-shard dump / stitching load.
 #

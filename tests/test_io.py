@@ -148,3 +148,23 @@ def test_driver_dump_sharded(tmp_path, monkeypatch):
     base = shard_files[0].split("_shard")[0] + ".txt"
     b2, w2 = lio.load_lattice_sharded(str(tmp_path / base), fmt="hex")
     np.testing.assert_array_equal(np.asarray(b2), np.asarray(sim.bits()[0]))
+
+
+def test_dump_streamed_matches_one_shot(tmp_path):
+    """Row-streamed dump writes byte-identical files to dump_lattice."""
+    from ising_tpu import SimConfig, get_backend, lattice
+    from ising_tpu import io as lio
+    for backend in ("xla", "bit1", "packed"):
+        cfg = SimConfig(nrows=16, ncols=64, temp=1.5, backend=backend)
+        be = get_backend(cfg)
+        b8, w8 = lattice.init_bits(42, 16, 64)
+        bs, ws = be.encode(b8, w8)
+        for fmt in ("hex", "txt"):
+            p1 = str(tmp_path / f"one_{backend}.{fmt}")
+            p2 = str(tmp_path / f"str_{backend}.{fmt}")
+            lio.dump_lattice(p1, b8, w8, fmt=fmt)
+            lio.dump_lattice_streamed(
+                p2, lambda r0, r1: be.decode(bs[r0:r1], ws[r0:r1]),
+                16, fmt=fmt, row_chunk=4)
+            assert open(p1, "rb").read() == open(p2, "rb").read(), \
+                (backend, fmt)
