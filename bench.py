@@ -104,24 +104,43 @@ def main(argv=None):
     sync((b, w))
 
     # Two step counts; the marginal slope removes fixed dispatch/sync
-    # overhead (~30-70 ms through the tunnel). Median of 5.
-    diffs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        b, w = step_n(b, w, thr, jnp.uint32(warm), steps)
-        sync((b, w))
-        t_small = time.perf_counter() - t0
+    # overhead (~30-70 ms through the tunnel). Median of 5 pairs; if the
+    # tunnel is in a degraded window (slope spread comparable to the
+    # median, or mostly non-positive slopes), double the step window and
+    # re-measure — larger windows push the signal back above the jitter.
+    def measure(nsteps, base):
+        nonlocal b, w
+        out = []
+        s0 = base
+        for _ in range(5):
+            t0 = time.perf_counter()
+            b, w = step_n(b, w, thr, jnp.uint32(s0), nsteps)
+            sync((b, w))
+            t_small = time.perf_counter() - t0
+            s0 += nsteps
+            t0 = time.perf_counter()
+            b, w = step_n(b, w, thr, jnp.uint32(s0), 2 * nsteps)
+            sync((b, w))
+            t_large = time.perf_counter() - t0
+            s0 += 2 * nsteps
+            out.append(t_large - t_small)
+        return out, s0
 
-        t0 = time.perf_counter()
-        b, w = step_n(b, w, thr, jnp.uint32(warm + steps), 2 * steps)
-        sync((b, w))
-        t_large = time.perf_counter() - t0
-        diffs.append(t_large - t_small)
+    base = warm
+    for attempt in range(2):
+        diffs, base = measure(steps, base)
+        positive = sorted(d for d in diffs if d > 0)
+        if len(positive) >= 4:
+            med = positive[len(positive) // 2]
+            spread = positive[-1] - positive[0]
+            if spread < 1.5 * med:
+                break
+        steps *= 2  # noisy window: double the signal
 
     # Tunnel noise can inflate either measurement of a pair, so neither
     # min nor mean is safe (min once reported an impossible >HBM-limit
-    # number when a stall inflated t_small). Median of 5 is robust; a
-    # physical sanity floor rejects estimates beyond the memory roofline.
+    # number when a stall inflated t_small). Median of positives is
+    # robust; a physical sanity floor rejects beyond-roofline estimates.
     positive = sorted(d for d in diffs if d > 0) or [max(diffs)]
     elapsed = positive[len(positive) // 2]
     # Physical sanity floor: per-step lattice traffic is 3 x bytes_per_spin
