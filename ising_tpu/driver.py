@@ -85,13 +85,7 @@ class Simulation:
         self.links = None
         jplanes = None
         if cfg.j_prob is not None:
-            v, h = ising.generate_disorder_links(cfg.seed, cfg.nrows,
-                                                 cfg.ncols, cfg.j_prob)
-            self.links = (v, h)
-            jb = links_to_color_planes(v, h, BLACK)
-            jw = links_to_color_planes(v, h, WHITE)
-            enc = getattr(self.backend, "encode_jplanes", lambda p: p)
-            jplanes = (tuple(enc(jb)), tuple(enc(jw)))
+            self.links, jplanes = self._build_disorder(cfg)
 
         self._jplanes = jplanes  # kept for stepper rebuilds (greedy switch)
         self.shardings, self._step_n = make_sharded_stepper(
@@ -110,6 +104,60 @@ class Simulation:
             w = jax.device_put(w, self.shardings["plane"])
         self.black, self.white = b, w
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
+
+    def _build_disorder(self, cfg, chunk_rows: int = 8192):
+        """(links, jplanes) for cfg.j_prob, built in row chunks.
+
+        One-shot link generation materializes several full-lattice planes
+        at once and fails at the reference's 65536^2-per-chip size (where
+        the reference itself supports -J); chunked generation is
+        bit-identical (counter-based link draws + row-local projections,
+        with the one v halo row each chunk's j_up needs). The (v, h) link
+        planes stay on device BIT-PACKED (1/8 the bytes; at 65536^2 the
+        8.6 GB of uint8 links plus the sweep's working set did not fit) and
+        unpack per slab in the streamed observables (_links_slab).
+        """
+        Y, X = cfg.nrows, cfg.ncols
+        enc = getattr(self.backend, "encode_jplanes", lambda p: p)
+        self._links_packed = X % 32 == 0
+        if self._links_packed:
+            from .ops.pallas_bit1 import pack_bits1
+        R = min(Y, chunk_rows)
+        while Y % R:
+            R -= 2
+        v_parts, h_parts, jb_parts, jw_parts = [], [], [], []
+        for r in range(0, Y, R):
+            v_s, h_s = ising.generate_disorder_links(
+                cfg.seed, Y, X, cfg.j_prob, row0=r, local_rows=R)
+            if R == Y:
+                v_up = None
+            else:
+                v_up, _ = ising.generate_disorder_links(
+                    cfg.seed, Y, X, cfg.j_prob, row0=(r - 1) % Y,
+                    local_rows=1)
+            jb_parts.append(tuple(enc(
+                links_to_color_planes(v_s, h_s, BLACK, v_up=v_up))))
+            jw_parts.append(tuple(enc(
+                links_to_color_planes(v_s, h_s, WHITE, v_up=v_up))))
+            if self._links_packed:
+                v_s, h_s = pack_bits1(v_s), pack_bits1(h_s)
+            v_parts.append(v_s)
+            h_parts.append(h_s)
+            jax.block_until_ready((jb_parts[-1], jw_parts[-1]))
+        cat = (lambda ps: ps[0] if len(ps) == 1 else
+               tuple(jnp.concatenate([p[i] for p in ps])
+                     for i in range(len(ps[0]))))
+        links = (v_parts[0] if len(v_parts) == 1 else jnp.concatenate(v_parts),
+                 h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts))
+        return links, (cat(jb_parts), cat(jw_parts))
+
+    def _links_slab(self, r: int, n: int):
+        """(v, h) uint8 link rows [r, r+n) (unpacking the packed store)."""
+        v, h = self.links
+        if self._links_packed:
+            from .ops.pallas_bit1 import unpack_bits1
+            return unpack_bits1(v[r:r + n]), unpack_bits1(h[r:r + n])
+        return v[r:r + n], h[r:r + n]
 
     # -- state access ------------------------------------------------------
 
@@ -256,22 +304,36 @@ class Simulation:
         return (f"corr_{self.cfg.nrows}x{self.cfg.ncols}"
                 f"_T_{self.temp:f}_{self.cfg.seed}")
 
+    def _decode_rows(self, r: int, n: int):
+        """Decoded compact planes for wrapped rows [r, r+n) of the state."""
+        from .observables import _rows_wrap
+        return self.backend.decode(_rows_wrap(self.black, r, n),
+                                   _rows_wrap(self.white, r, n))
+
     def energy(self) -> float:
-        """Internal energy per spin (word-domain fast path when available)."""
+        """Internal energy per spin. Word-domain fast path on bit1;
+        otherwise streamed from storage per row slab (a full-lattice decode
+        plus resident disorder links does not fit at 65536^2-per-chip)."""
         if self.links is None and hasattr(self.backend, "energy_rows"):
-            rows = np.asarray(jax.device_get(
-                self.backend.energy_rows(self.black, self.white)),
-                np.int64).sum()
-            return -float(rows) / self.cfg.nspins
-        v, h = self.links if self.links is not None else (None, None)
-        return observables.energy_per_spin(*self.bits(), v, h)
+            rows = self.backend.energy_rows(self.black, self.white)
+        else:
+            rows = observables.energy_rows_via(
+                self._decode_rows, self.cfg.nrows,
+                links_rows=self._links_slab if self.links is not None
+                else None)
+        total = np.asarray(jax.device_get(rows), np.int64).sum()
+        return -float(total) / self.cfg.nspins
 
     def _append_corr(self, it: int):
+        from .constants import MAX_CORR_LEN
         if self.cfg.xsl is None and hasattr(self.backend, "corr_rows"):
             # Word-domain correlation: no decode of the full bit planes.
-            from .constants import MAX_CORR_LEN
             rows = np.asarray(jax.device_get(self.backend.corr_rows(
                 self.black, self.white, MAX_CORR_LEN)), np.int64)
+            c = rows.sum(axis=1) / (2.0 * self.cfg.nspins)
+        elif self.cfg.xsl is None:
+            rows = np.asarray(jax.device_get(observables.correlation_rows_via(
+                self._decode_rows, self.cfg.nrows, MAX_CORR_LEN)), np.int64)
             c = rows.sum(axis=1) / (2.0 * self.cfg.nspins)
         else:
             b, w = self.bits()

@@ -102,7 +102,7 @@ def bits_to_spins(bits):
     return (2 * bits.astype(jnp.int8) - 1).astype(jnp.int8)
 
 
-def links_to_color_planes(v, h, color: int):
+def links_to_color_planes(v, h, color: int, v_up=None):
     """Project full-lattice disorder links onto one color's neighbor planes.
 
     Given v[y,x] (vertical link (y,x)-(y+1,x)) and h[y,x] (horizontal link
@@ -112,6 +112,10 @@ def links_to_color_planes(v, h, color: int):
     Both colors project from the same link fields, so the two views are
     consistent by construction (replacing the reference's atomicOr scatter,
     optimized/main.cu:221-331).
+
+    v_up: optional (1, X) halo row holding the v link ABOVE the first row
+    (row-slab chunked generation; must start on an even global row so local
+    parity equals global). Defaults to the full-lattice periodic roll.
     """
     nrows = v.shape[0]
     row_odd = (jnp.arange(nrows) % 2).astype(bool)[:, None]
@@ -124,7 +128,9 @@ def links_to_color_planes(v, h, color: int):
         return jnp.where(row_odd, even_cols, odd_cols)
 
     j_dn = pick(v)  # link to the row-below neighbor
-    j_up = pick(jnp.roll(v, 1, axis=0))  # link (y-1,x)-(y,x)
+    v_above = jnp.roll(v, 1, axis=0) if v_up is None \
+        else jnp.concatenate([v_up, v[:-1]], axis=0)
+    j_up = pick(v_above)  # link (y-1,x)-(y,x)
     h_left = jnp.roll(h, 1, axis=1)  # link (y,x-1)-(y,x)
 
     # Whether this color's "same-column" in-row neighbor is to the right:

@@ -120,7 +120,8 @@ def onsager_energy(temp: float) -> float:
     return -coth * (1.0 + (2.0 / math.pi) * (2.0 * th * th - 1.0) * K)
 
 
-def generate_disorder_links(seed: int, nrows: int, ncols: int, prob: float):
+def generate_disorder_links(seed: int, nrows: int, ncols: int, prob: float,
+                            *, row0: int = 0, local_rows: int | None = None):
     """Quenched +-J disorder: Bernoulli(prob) antiferromagnetic link flags.
 
     Returns (v, h) uint8 full-lattice arrays of shape (nrows, ncols):
@@ -140,9 +141,14 @@ def generate_disorder_links(seed: int, nrows: int, ncols: int, prob: float):
     from ..rng import TAG_HAMILT, color_draws
 
     cut = int(round(prob * 65536.0))
+    rows = local_rows if local_rows is not None else nrows
     # Draw one uint32 per link, carving v from tag stream 0 and h from 1.
-    dv = color_draws(seed, nrows, ncols, step=0, tag=TAG_HAMILT | 0)
-    dh = color_draws(seed, nrows, ncols, step=0, tag=TAG_HAMILT | 1)
+    # row0/local_rows carve out a row slab of the SAME stream (counters are
+    # global-row-indexed), so chunked generation is bit-identical.
+    dv = color_draws(seed, rows, ncols, step=0, tag=TAG_HAMILT | 0,
+                     row0=row0, row_stride=ncols)
+    dh = color_draws(seed, rows, ncols, step=0, tag=TAG_HAMILT | 1,
+                     row0=row0, row_stride=ncols)
     v = ((dv & 0xFFFF) < cut).astype(jnp.uint8)
     h = ((dh & 0xFFFF) < cut).astype(jnp.uint8)
     return v, h

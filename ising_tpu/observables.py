@@ -267,6 +267,52 @@ def correlation(black, white, corr_len: int = MAX_CORR_LEN,
 
 
 # ----------------------------------------------------------------------------
+# Storage-streaming observables: identical slab math, but rows are decoded
+# on demand from backend storage (decode_rows(r, n) -> compact (black,
+# white) planes for wrapped rows [r, r+n)) — no full-lattice decode ever
+# materializes. With disorder links resident on device, a packed 65536^2
+# lattice cannot afford decoded planes AND links at once; these stream both.
+
+def energy_rows_via(decode_rows, nrows: int, links_rows=None,
+                    row_chunk: int = 8192):
+    """energy_row_sums from storage via row callbacks.
+
+    links_rows(r, n) -> (v, h) uint8 link rows [r, r+n), or None — a
+    callback so disorder links can live bit-packed on device and unpack
+    per slab.
+    """
+    Y = nrows
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    parts = []
+    for r in range(0, Y, R):
+        e_ext, o_ext = _col_parity_planes(*decode_rows(r, R + 1))
+        vs, hs = (None, None) if links_rows is None else links_rows(r, R)
+        parts.append(_energy_block(e_ext, o_ext, vs, hs))
+        _fence(parts[-1])
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def correlation_rows_via(decode_rows, nrows: int,
+                         corr_len: int = MAX_CORR_LEN,
+                         row_chunk: int = 8192):
+    """correlation_row_sums from storage via a row decoder callback
+    (full-lattice wrap; replica mode keeps the array-input path)."""
+    Y = nrows
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    parts = []
+    for r in range(0, Y, R):
+        e_ext, o_ext = _col_parity_planes(*decode_rows(r, R + corr_len))
+        parts.append(_corr_block(e_ext, o_ext, corr_len,
+                                 e_ext.shape[1], None))
+        _fence(parts[-1])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+# ----------------------------------------------------------------------------
 # Word-domain observables for the bit1 tier (1 bit/spin, bit g of word j =
 # compact column g*W1 + j). Bond products stay XORs on words; row sums are
 # popcounts — no decode to byte planes, so the full measurement pipeline

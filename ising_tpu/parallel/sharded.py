@@ -149,9 +149,21 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
         shardings = {"plane": None, "replicated": None, "mesh": None}
 
     jb, jw = (None, None) if jplanes is None else jplanes
+    if ndev > 1 and jb is not None:
+        # Pre-shard once so the per-call argument passing below never
+        # re-transfers them.
+        jb = jax.device_put(jb, row_sharded)
+        jw = jax.device_put(jw, row_sharded)
 
+    # The disorder planes are passed as ARGUMENTS, not closure captures:
+    # closed-over arrays are embedded as literal constants at lowering
+    # time (a 2+ GB program at 65536^2, which wedges compilation) instead
+    # of staying device-resident buffers.
     @partial(jax.jit, donate_argnums=(0, 1))
+    def _step_n(black, white, thr10, step0, n, jba, jwa):
+        return inner(black, white, thr10, step0, n, jba, jwa)
+
     def step_n(black, white, thr10, step0, n):
-        return inner(black, white, thr10, step0, n, jb, jw)
+        return _step_n(black, white, thr10, step0, n, jb, jw)
 
     return shardings, step_n
