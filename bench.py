@@ -49,6 +49,8 @@ def main(argv=None):
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--cols", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--j", type=float, default=None,
+                    help="quenched disorder J probability")
     ap.add_argument("--ndev", type=int, default=1,
                     help="shard over an n-device mesh (weak-scaling bench; "
                          "needs n visible devices)")
@@ -83,11 +85,15 @@ def main(argv=None):
                           f"{len(jax.devices())} devices visible"}))
         return 1
     cfg = SimConfig(nrows=nrows, ncols=ncols, temp=1.5, backend=backend,
-                    rng=args.rng, ndev=args.ndev)
+                    rng=args.rng, ndev=args.ndev, j_prob=args.j)
     be = get_backend(cfg)
     b, w = init_store(cfg.seed, cfg.nrows, cfg.ncols, be.encode)
     thr = jnp.asarray(ising.threshold_table(cfg.temperature))
-    shardings, step_n = make_sharded_stepper(cfg, be)
+    jplanes = None
+    if args.j is not None:
+        from ising_tpu.driver import build_disorder
+        _, _, jplanes = build_disorder(cfg, be)
+    shardings, step_n = make_sharded_stepper(cfg, be, jplanes=jplanes)
     if shardings["plane"] is not None:
         b = jax.device_put(b, shardings["plane"])
         w = jax.device_put(w, shardings["plane"])
@@ -159,6 +165,8 @@ def main(argv=None):
               "elapsed_s": round(elapsed, 4)}
     if args.ndev > 1:
         detail["ndev"] = args.ndev
+    if args.j is not None:
+        detail["j_prob"] = args.j
     if clamped:
         detail["clamped"] = True
     print(json.dumps({

@@ -71,6 +71,52 @@ def reference_exp_times(nsteps: int) -> list[int]:
     return times
 
 
+def build_disorder(cfg, backend, chunk_rows: int = 8192):
+    """(links, links_packed, jplanes) for cfg.j_prob, built in row chunks.
+
+    One-shot link generation materializes several full-lattice planes at
+    once and fails at the reference's 65536^2-per-chip size (where the
+    reference itself supports -J); chunked generation is bit-identical
+    (counter-based link draws + row-local projections, with the one v halo
+    row each chunk's j_up needs). The (v, h) link planes stay on device
+    BIT-PACKED when ncols % 32 == 0 (1/8 the bytes; at 65536^2 the 8.6 GB
+    of uint8 links plus the sweep's working set did not fit) and unpack
+    per slab in the streamed observables (Simulation._links_slab).
+    """
+    Y, X = cfg.nrows, cfg.ncols
+    enc = getattr(backend, "encode_jplanes", lambda p: p)
+    links_packed = X % 32 == 0
+    if links_packed:
+        from .ops.pallas_bit1 import pack_bits1
+    R = min(Y, chunk_rows)
+    while Y % R:
+        R -= 2
+    v_parts, h_parts, jb_parts, jw_parts = [], [], [], []
+    for r in range(0, Y, R):
+        v_s, h_s = ising.generate_disorder_links(
+            cfg.seed, Y, X, cfg.j_prob, row0=r, local_rows=R)
+        if R == Y:
+            v_up = None
+        else:
+            v_up, _ = ising.generate_disorder_links(
+                cfg.seed, Y, X, cfg.j_prob, row0=(r - 1) % Y, local_rows=1)
+        jb_parts.append(tuple(enc(
+            links_to_color_planes(v_s, h_s, BLACK, v_up=v_up))))
+        jw_parts.append(tuple(enc(
+            links_to_color_planes(v_s, h_s, WHITE, v_up=v_up))))
+        if links_packed:
+            v_s, h_s = pack_bits1(v_s), pack_bits1(h_s)
+        v_parts.append(v_s)
+        h_parts.append(h_s)
+        jax.block_until_ready((jb_parts[-1], jw_parts[-1]))
+    cat = (lambda ps: ps[0] if len(ps) == 1 else
+           tuple(jnp.concatenate([p[i] for p in ps])
+                 for i in range(len(ps[0]))))
+    links = (v_parts[0] if len(v_parts) == 1 else jnp.concatenate(v_parts),
+             h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts))
+    return links, links_packed, (cat(jb_parts), cat(jw_parts))
+
+
 class Simulation:
     """One Ising MC run: state + jitted stepper + measurement loop."""
 
@@ -83,9 +129,11 @@ class Simulation:
 
         # Quenched disorder (shared by all backends via the link fields).
         self.links = None
+        self._links_packed = False
         jplanes = None
         if cfg.j_prob is not None:
-            self.links, jplanes = self._build_disorder(cfg)
+            self.links, self._links_packed, jplanes = \
+                build_disorder(cfg, self.backend)
 
         self._jplanes = jplanes  # kept for stepper rebuilds (greedy switch)
         self.shardings, self._step_n = make_sharded_stepper(
@@ -104,52 +152,6 @@ class Simulation:
             w = jax.device_put(w, self.shardings["plane"])
         self.black, self.white = b, w
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
-
-    def _build_disorder(self, cfg, chunk_rows: int = 8192):
-        """(links, jplanes) for cfg.j_prob, built in row chunks.
-
-        One-shot link generation materializes several full-lattice planes
-        at once and fails at the reference's 65536^2-per-chip size (where
-        the reference itself supports -J); chunked generation is
-        bit-identical (counter-based link draws + row-local projections,
-        with the one v halo row each chunk's j_up needs). The (v, h) link
-        planes stay on device BIT-PACKED (1/8 the bytes; at 65536^2 the
-        8.6 GB of uint8 links plus the sweep's working set did not fit) and
-        unpack per slab in the streamed observables (_links_slab).
-        """
-        Y, X = cfg.nrows, cfg.ncols
-        enc = getattr(self.backend, "encode_jplanes", lambda p: p)
-        self._links_packed = X % 32 == 0
-        if self._links_packed:
-            from .ops.pallas_bit1 import pack_bits1
-        R = min(Y, chunk_rows)
-        while Y % R:
-            R -= 2
-        v_parts, h_parts, jb_parts, jw_parts = [], [], [], []
-        for r in range(0, Y, R):
-            v_s, h_s = ising.generate_disorder_links(
-                cfg.seed, Y, X, cfg.j_prob, row0=r, local_rows=R)
-            if R == Y:
-                v_up = None
-            else:
-                v_up, _ = ising.generate_disorder_links(
-                    cfg.seed, Y, X, cfg.j_prob, row0=(r - 1) % Y,
-                    local_rows=1)
-            jb_parts.append(tuple(enc(
-                links_to_color_planes(v_s, h_s, BLACK, v_up=v_up))))
-            jw_parts.append(tuple(enc(
-                links_to_color_planes(v_s, h_s, WHITE, v_up=v_up))))
-            if self._links_packed:
-                v_s, h_s = pack_bits1(v_s), pack_bits1(h_s)
-            v_parts.append(v_s)
-            h_parts.append(h_s)
-            jax.block_until_ready((jb_parts[-1], jw_parts[-1]))
-        cat = (lambda ps: ps[0] if len(ps) == 1 else
-               tuple(jnp.concatenate([p[i] for p in ps])
-                     for i in range(len(ps[0]))))
-        links = (v_parts[0] if len(v_parts) == 1 else jnp.concatenate(v_parts),
-                 h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts))
-        return links, (cat(jb_parts), cat(jw_parts))
 
     def _links_slab(self, r: int, n: int):
         """(v, h) uint8 link rows [r, r+n) (unpacking the packed store)."""

@@ -23,9 +23,11 @@ optimized/main.cu:40) and computes the neighbor sums bit-sliced:
   * per color phase the HBM traffic is 3 x C/8 bytes/row: 6 bit-planes per
     step = 0.375 bytes/spin-update vs the packed tier's 1.5.
 
-Feature scope mirrors a speed tier: no quenched disorder, no sub-lattice
-replicas (use "packed" for those); multi-device slab sharding and both
-fused paths are inherited from the shared stepper machinery.
+Quenched +-J disorder rides as four 1-bit direction-flag planes in the
+same word layout (XORed into the neighbor planes before the adder — the
+bit-sliced analog of the packed tier's J word, +0.5 B/spin-update of
+traffic). Sub-lattice replicas are not supported (use "packed" or "xla");
+multi-device slab sharding is inherited from the shared stepper machinery.
 """
 
 from __future__ import annotations
@@ -143,9 +145,11 @@ def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
 
 
 def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
-                 out_ref, *, color: int, row_block: int, seed: int,
+                 *rest, color: int, row_block: int, seed: int,
                  rng_mode: str, interp: bool, greedy: bool,
+                 disorder: bool = False,
                  t4k: int = 0, t8k: int = 0, kbits: int = 24):
+    out_ref = rest[-1]
     BY = row_block
     W1 = dst_ref.shape[1]
     C = SPW * W1
@@ -172,7 +176,19 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     off = jnp.where(odd, right, left) if color == BLACK \
         else jnp.where(odd, left, right)
 
-    ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, src, off)
+    same = src
+    if disorder:
+        # Quenched +-J: the four direction flags ride as 1-bit planes in
+        # the same word layout; neighbor XOR stays one vector op per plane
+        # (the bit-sliced analog of the packed tier's J-XOR,
+        # optimized/main.cu:575-618).
+        j_up, j_dn, j_same, j_off = (r[...] for r in rest[:4])
+        up = up ^ j_up
+        dn = dn ^ j_dn
+        same = same ^ j_same
+        off = off ^ j_off
+
+    ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, same, off)
 
     tag = TAG_SWEEP | color
     family, rounds = parse_rng_mode(rng_mode)
@@ -258,14 +274,16 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 @functools.partial(jax.jit, static_argnames=(
     "color", "seed", "rng_mode", "interpret", "greedy",
     "t4k", "t8k", "kbits"))
-def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
-               seed: int, rng_mode: str = "threefry13",
+def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
+               *, color: int, seed: int, rng_mode: str = "threefry13",
                interpret: bool = False, greedy: bool = False,
                t4k: int = 0, t8k: int = 0, kbits: int = 24):
     """One color half-sweep over the 1-bit (H, W1) plane.
 
-    t4k/t8k/kbits are only consumed in hw mode: static k-bit acceptance
-    thresholds for the bit-serial compare (ising.bernoulli_kbit_thresholds).
+    jplanes: optional (j_up, j_dn, j_same, j_off) disorder planes in the
+    same (H, W1) word layout. t4k/t8k/kbits are only consumed in hw /
+    bit-plane modes: static k-bit acceptance thresholds for the bit-serial
+    compare (ising.bernoulli_kbit_thresholds).
     """
     H, W1 = dst.shape
     fam = parse_rng_mode(rng_mode)[0]
@@ -294,26 +312,33 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, *, color: int,
     kernel = functools.partial(
         _bit1_kernel, color=color, row_block=BY, seed=seed,
         rng_mode=rng_mode, interp=interpret, greedy=greedy,
-        t4k=t4k, t8k=t8k, kbits=kbits)
+        disorder=jplanes is not None, t4k=t4k, t8k=t8k, kbits=kbits)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
+        pl.BlockSpec(memory_space=pltpu.SMEM),                     # thr10
+        pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),      # dst
+        pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),      # src
+        pl.BlockSpec((nblk, W1), whole, memory_space=pltpu.VMEM),  # ups
+        pl.BlockSpec((nblk, W1), whole, memory_space=pltpu.VMEM),  # dns
+    ]
+    args = [params, thr10, dst, src, ups, dns]
+    if jplanes is not None:
+        in_specs += [pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM)
+                     for _ in range(4)]
+        args += list(jplanes)
 
     return pl.pallas_call(
         kernel,
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
-            pl.BlockSpec(memory_space=pltpu.SMEM),                     # thr10
-            pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),      # dst
-            pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),      # src
-            pl.BlockSpec((nblk, W1), whole, memory_space=pltpu.VMEM),  # ups
-            pl.BlockSpec((nblk, W1), whole, memory_space=pltpu.VMEM),  # dns
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W1), jnp.uint32),
         input_output_aliases={2: 0},
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(params, thr10, dst, src, ups, dns)
+    )(*args)
 
 
 class Bit1Backend:
@@ -326,9 +351,6 @@ class Bit1Backend:
         if cfg.xsl is not None:
             raise NotImplementedError(
                 "bit1 backend has no sub-lattice mode; use packed or xla")
-        if cfg.j_prob is not None:
-            raise NotImplementedError(
-                "bit1 backend has no disorder mode; use packed, dense or xla")
         self.cfg = cfg
         self.greedy = cfg.temperature <= 0
         self.interpret = jax.default_backend() == "cpu"
@@ -396,16 +418,19 @@ class Bit1Backend:
         return observables.bit1_correlation_row_sums(
             black_store, white_store, corr_len)
 
+    def encode_jplanes(self, planes):
+        """(j_up, j_dn, j_same, j_off) uint8 planes -> bit1 word planes."""
+        return tuple(pack_bits1(p) for p in planes)
+
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
-        assert jplanes is None
         t4k = t8k = 0
         if self.temp_static:
             from ..models import ising
             t4k, t8k = ising.bernoulli_kbit_thresholds(
                 self.temperature, self.accept_bits)
         return bit1_sweep(dst, src, src_up, src_dn, thr10,
-                          jnp.uint32(row0), step, color=color,
+                          jnp.uint32(row0), step, jplanes, color=color,
                           seed=self.cfg.seed, rng_mode=self.cfg.rng,
                           interpret=self.interpret, greedy=self.greedy,
                           t4k=t4k, t8k=t8k, kbits=self.accept_bits)

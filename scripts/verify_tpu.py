@@ -109,7 +109,7 @@ def main(argv=None):
     ok = True
     if args.backend == "bit1":
         # bit1 requires ncols % 8192 on compiled TPU (W1 = ncols/64 must
-        # fill 128-lane registers); no disorder/replica modes.
+        # fill 128-lane registers); no replica mode.
         cases = [
             dict(nrows=64, ncols=8192, rng="philox"),
             dict(nrows=64, ncols=8192, rng="threefry13"),
@@ -118,6 +118,9 @@ def main(argv=None):
             # bit-plane contract modes (in-kernel bit-serial accept)
             dict(nrows=64, ncols=8192, rng="threefry13b"),
             dict(nrows=64, ncols=16384, rng="philox7b"),
+            # bit-sliced J-XOR disorder
+            dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3),
+            dict(nrows=64, ncols=8192, rng="philox7b", j_prob=0.3),
         ]
     else:
         # mxu needs nrows and ncols/2 to be multiples of 128.

@@ -305,6 +305,17 @@ def test_bit1_rejects_unsupported():
     with pytest.raises(NotImplementedError):
         get_backend(SimConfig(nrows=16, ncols=64, backend="bit1",
                               xsl=8, ysl=8))
-    with pytest.raises(NotImplementedError):
-        get_backend(SimConfig(nrows=16, ncols=64, backend="bit1",
-                              j_prob=0.4))
+
+
+@pytest.mark.parametrize("rng", ["threefry13", "philox7b"])
+def test_bit1_disorder_matches_xla(rng):
+    """bit1's bit-sliced J-XOR must reproduce xla's disorder trajectories
+    in both the u32 and bit-plane rng contracts."""
+    base = dict(nrows=16, ncols=128, temp=1.7, seed=31, rng=rng, j_prob=0.35)
+    cfg = SimConfig(backend="xla", **base)
+    v, h = ising.generate_disorder_links(cfg.seed, cfg.nrows, cfg.ncols,
+                                         cfg.j_prob)
+    jp = (lattice.links_to_color_planes(v, h, BLACK),
+          lattice.links_to_color_planes(v, h, WHITE))
+    assert_same_trajectory(cfg, SimConfig(backend="bit1", **base), jp=jp,
+                           nsteps=3)

@@ -237,12 +237,16 @@ def test_disorder_chunked_build_matches_one_shot():
     for backend in ("xla", "packed"):
         base = dict(nrows=32, ncols=64, temp=1.6, seed=9, j_prob=0.3,
                     backend=backend)
+        from ising_tpu.driver import build_disorder
         s1 = Simulation(SimConfig(**base))            # one-shot (32 <= 8192)
         s2 = Simulation(SimConfig(**base))
-        s2.links, jp2 = s2._build_disorder(s2.cfg, chunk_rows=8)
-        np.testing.assert_array_equal(s1.links[0], s2.links[0])
-        np.testing.assert_array_equal(s1.links[1], s2.links[1])
-        _, jp1 = s1._build_disorder(s1.cfg)  # rebuild to compare encodings
+        s2.links, s2._links_packed, jp2 = build_disorder(
+            s2.cfg, s2.backend, chunk_rows=8)
+        np.testing.assert_array_equal(np.asarray(s1.links[0]),
+                                      np.asarray(s2.links[0]))
+        np.testing.assert_array_equal(np.asarray(s1.links[1]),
+                                      np.asarray(s2.links[1]))
+        _, _, jp1 = build_disorder(s1.cfg, s1.backend)
         for a, b in zip(jp1, jp2):
             for pa, pb in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

@@ -98,7 +98,7 @@ def test_sharded_packed_matches_xla():
     np.testing.assert_array_equal(np.asarray(wx), np.asarray(wp))
 
 
-@pytest.mark.parametrize("backend", ["xla", "packed"])
+@pytest.mark.parametrize("backend", ["xla", "packed", "bit1"])
 def test_sharded_disorder_matches_single(backend):
     """Quenched disorder planes must shard correctly with the lattice."""
     from ising_tpu.driver import Simulation
