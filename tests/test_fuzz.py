@@ -54,13 +54,18 @@ def test_packed_matches_xla_random(kw):
 
 
 def bit1_cases(n, master_seed=20260817):
-    """Random geometries legal for bit1 (ncols % 64, no disorder/replica)."""
+    """Random geometries legal for bit1 (ncols % 64; ~1/3 with disorder)."""
     rs = np.random.RandomState(master_seed)
-    return [dict(nrows=2 * int(rs.randint(2, 20)),
-                 ncols=64 * int(rs.randint(1, 5)),
-                 temp=float(rs.choice([0.0, 0.8, 1.5, 2.269, 3.5, 8.0])),
-                 seed=int(rs.randint(1, 2 ** 50)))
-            for _ in range(n)]
+    out = []
+    for _ in range(n):
+        kw = dict(nrows=2 * int(rs.randint(2, 20)),
+                  ncols=64 * int(rs.randint(1, 5)),
+                  temp=float(rs.choice([0.0, 0.8, 1.5, 2.269, 3.5, 8.0])),
+                  seed=int(rs.randint(1, 2 ** 50)))
+        if rs.randint(0, 3) == 0:
+            kw["j_prob"] = float(rs.uniform(0, 1))
+        out.append(kw)
+    return out
 
 
 @pytest.mark.parametrize("kw", bit1_cases(8))
