@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from .config import SimConfig
-from .constants import BLACK, MIN_TEMP, TGT_MAGN_MAX_DIFF, WHITE
+from .constants import (BLACK, MAX_CORR_LEN, MIN_TEMP,
+                        TGT_MAGN_MAX_DIFF, WHITE)
 from . import io as lio
 from . import observables
 from .checkpoint import save_checkpoint
@@ -327,7 +328,6 @@ class Simulation:
         return -float(total) / self.cfg.nspins
 
     def _append_corr(self, it: int):
-        from .constants import MAX_CORR_LEN
         if self.cfg.xsl is None and hasattr(self.backend, "corr_rows"):
             # Word-domain correlation: no decode of the full bit planes.
             rows = np.asarray(jax.device_get(self.backend.corr_rows(

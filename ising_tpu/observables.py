@@ -94,20 +94,13 @@ def energy_row_sums(black, white, v=None, h=None, row_chunk: int = 8192):
     O(row_chunk * ncols) at any lattice height (the column-parity planes
     are extracted per slab, never whole).
     """
-    Y = black.shape[0]
-    R = min(Y, row_chunk)
-    while Y % R:
-        R -= 2
-    parts = []
-    for r in range(0, Y, R):
-        e_ext, o_ext = _col_parity_planes(_rows_wrap(black, r, R + 1),
-                                          _rows_wrap(white, r, R + 1))
-        parts.append(_energy_block(
-            e_ext, o_ext,
-            None if v is None else v[r:r + R],
-            None if h is None else h[r:r + R]))
-        _fence(parts[-1])
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return energy_rows_via(
+        lambda r, n: (_rows_wrap(black, r, n), _rows_wrap(white, r, n)),
+        black.shape[0],
+        None if v is None and h is None else
+        (lambda r, n: (None if v is None else v[r:r + n],
+                       None if h is None else h[r:r + n])),
+        row_chunk=row_chunk)
 
 
 def _rows_wrap(x, r: int, n: int):
@@ -201,33 +194,25 @@ def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
     program is reused across slabs.
     """
     Y, ch = black.shape
+    if xsl is None and ysl is None:
+        return correlation_rows_via(
+            lambda r, n: (_rows_wrap(black, r, n), _rows_wrap(white, r, n)),
+            Y, corr_len, row_chunk=row_chunk)
+
+    # Replica mode: slabs must be ysl-aligned (self-contained vertical
+    # wrap) and even-height so per-slab parity extraction stays
+    # global-correct; the horizontal wrap stays inside csl-column tiles.
     csl = (xsl // 2) if xsl is not None else ch
-    if ysl is not None:
-        # Replica slabs must be ysl-aligned to stay self-contained, and
-        # even-height so per-slab parity extraction stays global-correct.
-        R = (row_chunk // ysl) * ysl if ysl <= row_chunk else Y
-        R = R or Y
-        ytile = ysl
-    else:
-        R = min(Y, row_chunk)
-        ytile = None
+    ytile = ysl if ysl is not None else Y
+    R = (row_chunk // ytile) * ytile if ytile <= row_chunk else Y
+    R = R or Y
     while Y % R:
-        R -= ysl if ysl is not None else 2
+        R -= ytile
     if R % 2:
         R = Y  # odd replica tile: fall back to one slab
-        ytile = ysl
     parts = []
     for r in range(0, Y, R):
-        # Column-parity planes are extracted per slab (local parity equals
-        # global parity: r, R and Y are all even), never for the whole
-        # lattice — that transient alone is ncols bytes/site.
-        if ytile is not None:
-            e_ext, o_ext = _col_parity_planes(black[r:r + R],
-                                              white[r:r + R])
-        else:
-            e_ext, o_ext = _col_parity_planes(
-                _rows_wrap(black, r, R + corr_len),
-                _rows_wrap(white, r, R + corr_len))
+        e_ext, o_ext = _col_parity_planes(black[r:r + R], white[r:r + R])
         parts.append(_corr_block(e_ext, o_ext, corr_len, csl, ytile))
         _fence(parts[-1])
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
