@@ -1,0 +1,49 @@
+"""Smoke tests for the example scripts and bench entry (CPU, tiny sizes) —
+keeps the shipped demos from rotting as the library evolves."""
+
+import io
+import contextlib
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run_path(script, argv):
+    import runpy
+    old = sys.argv
+    sys.argv = [script] + argv
+    try:
+        with contextlib.redirect_stdout(io.StringIO()) as out:
+            try:
+                runpy.run_path(str(ROOT / script), run_name="__main__")
+            except SystemExit as e:
+                assert not e.code, f"{script} exited {e.code}"
+    finally:
+        sys.argv = old
+    return out.getvalue()
+
+
+def test_tc_sweep_quick():
+    out = _run_path("examples/tc_sweep.py",
+                    ["--sizes", "8,16", "--replicas", "8", "--warmup", "20",
+                     "--measure", "12", "--ntemps", "3"])
+    assert "Binder crossing estimate" in out
+
+
+def test_giant_lattice_tiny():
+    out = _run_path("examples/giant_lattice.py",
+                    ["--rows", "16", "--cols", "64", "--steps", "4"])
+    assert "|m| =" in out and "E/N =" in out
+
+
+def test_bench_disorder_cpu():
+    import json
+    import bench
+    with contextlib.redirect_stdout(io.StringIO()) as out:
+        rc = bench.main(["--backend", "packed", "--j", "0.3",
+                         "--rows", "64", "--cols", "64", "--steps", "2"])
+    assert rc == 0
+    line = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert line["detail"]["j_prob"] == 0.3
+    assert line["value"] > 0
