@@ -108,6 +108,11 @@ def main(argv=None):
                         steps=args.steps)
     ok &= check_backend(jax, jnp, "bit1", nrows=512, ncols=8192, temp=1.5,
                         steps=args.steps)
+    # T = 0 greedy quench: dE<0 always flips, dE==0 coin-flips at 1/2
+    # (the bit-serial path's plane-0 coin), dE>0 never — from a random
+    # start all classes are populated on the first sweeps.
+    ok &= check_backend(jax, jnp, "bit1", nrows=512, ncols=8192, temp=0.0,
+                        steps=3)
     ok &= check_backend(jax, jnp, "packed", nrows=512, ncols=4096, temp=2.0,
                         steps=args.steps)
     print("verify_hw_stats: ALL WITHIN 5 SIGMA" if ok
