@@ -90,6 +90,7 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
     if links_packed:
         from .ops.pallas_bit1 import pack_bits1
     R = min(Y, chunk_rows)
+    R -= R % 2  # chunks must be even-height (row-parity preserving)
     while Y % R:
         R -= 2
     v_parts, h_parts, jb_parts, jw_parts = [], [], [], []
@@ -129,11 +130,13 @@ class Simulation:
         self.backend = get_backend(cfg)
 
         # Quenched disorder (shared by all backends via the link fields).
-        self.links = None
+        # The device store is bit-packed when ncols % 32 == 0 (format is an
+        # internal detail); the public accessor is links().
+        self._links_store = None
         self._links_packed = False
         jplanes = None
         if cfg.j_prob is not None:
-            self.links, self._links_packed, jplanes = \
+            self._links_store, self._links_packed, jplanes = \
                 build_disorder(cfg, self.backend)
 
         self._jplanes = jplanes  # kept for stepper rebuilds (greedy switch)
@@ -156,11 +159,21 @@ class Simulation:
 
     def _links_slab(self, r: int, n: int):
         """(v, h) uint8 link rows [r, r+n) (unpacking the packed store)."""
-        v, h = self.links
+        v, h = self._links_store
         if self._links_packed:
             from .ops.pallas_bit1 import unpack_bits1
             return unpack_bits1(v[r:r + n]), unpack_bits1(h[r:r + n])
         return v[r:r + n], h[r:r + n]
+
+    def links(self):
+        """(v, h) full uint8 disorder link planes, or None without -J.
+
+        Always uint8 regardless of the internal (possibly bit-packed)
+        device format. Materializes the full planes — at giant shapes
+        prefer _links_slab-style row streaming."""
+        if self._links_store is None:
+            return None
+        return self._links_slab(0, self.cfg.nrows)
 
     # -- state access ------------------------------------------------------
 
@@ -317,12 +330,12 @@ class Simulation:
         """Internal energy per spin. Word-domain fast path on bit1;
         otherwise streamed from storage per row slab (a full-lattice decode
         plus resident disorder links does not fit at 65536^2-per-chip)."""
-        if self.links is None and hasattr(self.backend, "energy_rows"):
+        if self._links_store is None and hasattr(self.backend, "energy_rows"):
             rows = self.backend.energy_rows(self.black, self.white)
         else:
             rows = observables.energy_rows_via(
                 self._decode_rows, self.cfg.nrows,
-                links_rows=self._links_slab if self.links is not None
+                links_rows=self._links_slab if self._links_store is not None
                 else None)
         total = np.asarray(jax.device_get(rows), np.int64).sum()
         return -float(total) / self.cfg.nspins

@@ -64,8 +64,10 @@ def init_store(seed: int, nrows: int, ncols: int, encode,
         return encode(b, w)
     if nrows % chunk_rows:
         # keep chunks uniform (and even-height for parity); fall back to
-        # the largest even divisor <= chunk_rows
-        chunk_rows = next(c for c in range(chunk_rows, 1, -2)
+        # the largest even divisor <= chunk_rows (start even so an odd
+        # chunk_rows still scans even candidates)
+        start = chunk_rows - (chunk_rows % 2)
+        chunk_rows = next(c for c in range(start, 1, -2)
                           if nrows % c == 0)
     chunks = [encode(*init_bits(seed, nrows, ncols, row0=r,
                                 local_rows=chunk_rows))

@@ -67,7 +67,10 @@ def bernoulli_kbit_thresholds(temp: float, kbits: int = 24) -> tuple[int, int]:
     k-bit uniform assembled from k independent random bit-planes and the
     comparison is evaluated bit-serially on whole planes. t = rint(p * 2^k)
     (clipped to 2^k - 1), so the realized flip probability t/2^k deviates
-    from exp(-dE/T) by at most 2^-(k+1). At the default k = 24 this is the
+    from exp(-dE/T) by at most 2^-(k+1) — except when the clip engages
+    (p > 1 - 2^-(k+1), i.e. extremely high T), where the deviation is
+    bounded by 2^-k and exact always-accept is never reached for the
+    stochastic classes. At the default k = 24 this is the
     same granularity as the reference's acceptance compare, whose
     curand_uniform draws live on a 2^-24 grid (optimized/main.cu:652-656).
 

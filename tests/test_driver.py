@@ -240,12 +240,15 @@ def test_disorder_chunked_build_matches_one_shot():
         from ising_tpu.driver import build_disorder
         s1 = Simulation(SimConfig(**base))            # one-shot (32 <= 8192)
         s2 = Simulation(SimConfig(**base))
-        s2.links, s2._links_packed, jp2 = build_disorder(
+        s2._links_store, s2._links_packed, jp2 = build_disorder(
             s2.cfg, s2.backend, chunk_rows=8)
-        np.testing.assert_array_equal(np.asarray(s1.links[0]),
-                                      np.asarray(s2.links[0]))
-        np.testing.assert_array_equal(np.asarray(s1.links[1]),
-                                      np.asarray(s2.links[1]))
+        np.testing.assert_array_equal(np.asarray(s1._links_store[0]),
+                                      np.asarray(s2._links_store[0]))
+        np.testing.assert_array_equal(np.asarray(s1._links_store[1]),
+                                      np.asarray(s2._links_store[1]))
+        # the public accessor always yields uint8 planes
+        lv, lh = s1.links()
+        assert lv.dtype == np.uint8 and lv.shape == (32, 64)
         _, _, jp1 = build_disorder(s1.cfg, s1.backend)
         for a, b in zip(jp1, jp2):
             for pa, pb in zip(a, b):
