@@ -1,55 +1,161 @@
 """First-class checkpoint / resume (a capability the reference lacks).
 
 The reference's counter-based RNG makes a run logically resumable from
-(lattice, iteration, seed) but it never implements reload (SURVEY.md §5).
-Here it is first-class: with the philox rng mode, resuming a checkpoint
-continues the *exact* trajectory bit-for-bit, because every future draw is a
-pure function of (seed, site, step, color).
+(lattice, iteration, seed) but it never implements reload (SURVEY.md §5:
+optimized/utils.c:97-107 — Fread is never called). Here it is first-class:
+with any counter rng mode, resuming a checkpoint continues the *exact*
+trajectory bit-for-bit, because every future draw is a pure function of
+(seed, site, step, color).
 
-Format: a single .npz with bit-packed planes + config JSON + step + current
-temperature (temperature may have been ramped since the start).
+Format (version 2, streamed): a single file holding
+
+    magic "ISINGCK2" | u32 header_len | header JSON | body
+
+where the body is row chunks in order; each chunk is the bit-packed
+(np.packbits, axis=1) black plane rows followed by the white plane rows.
+One bit per spin on disk. Both save and load stream one row chunk at a
+time, so host memory stays O(chunk_rows * ncols) even at shapes whose
+decoded byte planes would dominate host RAM (524288 x 65536 = 34 GB of
+uint8 planes; this file is 4 GB and the host transient is ~256 MB).
 """
 
 from __future__ import annotations
+
+import json
 
 import numpy as np
 
 from .config import SimConfig
 
-FORMAT_VERSION = 1
+MAGIC = b"ISINGCK2"
+FORMAT_VERSION = 2
+
+
+def _chunk_schedule(nrows: int, chunk_rows: int):
+    c = max(2, min(chunk_rows, nrows) & ~1)  # even-height chunks (parity)
+    return [(r, min(nrows, r + c)) for r in range(0, nrows, c)], c
+
+
+def save_checkpoint_streamed(path: str, decode_rows, nrows: int, ncols: int,
+                             *, step: int, temp: float, cfg: SimConfig,
+                             chunk_rows: int = 8192) -> None:
+    """Stream a checkpoint to disk, one row chunk at a time.
+
+    decode_rows(r0, r1) -> (black, white) compact uint8 bit planes for rows
+    [r0, r1) — typically a chunked backend decode of the device state, so
+    neither the full decoded planes nor the full packed file body ever
+    materialize on the host.
+    """
+    ch = ncols // 2
+    schedule, c = _chunk_schedule(nrows, chunk_rows)
+    header = json.dumps({
+        "version": FORMAT_VERSION,
+        "nrows": nrows,
+        "ncols": ncols,
+        "chunk_rows": c,
+        "step": int(step),
+        "temp": float(temp),
+        "config": cfg.to_json(),
+    }).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(np.uint32(len(header)).tobytes())
+        f.write(header)
+        for r0, r1 in schedule:
+            b, w = decode_rows(r0, r1)
+            b = np.asarray(b, dtype=np.uint8)
+            w = np.asarray(w, dtype=np.uint8)
+            if b.shape != (r1 - r0, ch):
+                raise ValueError(
+                    f"decode_rows({r0},{r1}) returned shape {b.shape}, "
+                    f"expected {(r1 - r0, ch)}")
+            f.write(np.packbits(b, axis=1).tobytes())
+            f.write(np.packbits(w, axis=1).tobytes())
 
 
 def save_checkpoint(path: str, black, white, *, step: int, temp: float,
                     cfg: SimConfig) -> None:
+    """Convenience wrapper for in-memory compact uint8 bit planes."""
     b = np.asarray(black, dtype=np.uint8)
     w = np.asarray(white, dtype=np.uint8)
-    np.savez_compressed(
-        path,
-        version=FORMAT_VERSION,
-        black=np.packbits(b, axis=1),
-        white=np.packbits(w, axis=1),
-        shape=np.asarray(b.shape, np.int64),
-        step=np.int64(step),
-        temp=np.float64(temp),
-        config=np.frombuffer(cfg.to_json().encode(), dtype=np.uint8),
-    )
+    save_checkpoint_streamed(
+        path, lambda r0, r1: (b[r0:r1], w[r0:r1]),
+        b.shape[0], 2 * b.shape[1], step=step, temp=temp, cfg=cfg)
+
+
+def read_checkpoint_meta(path: str) -> dict:
+    """Header only: {'nrows', 'ncols', 'chunk_rows', 'step', 'temp', 'cfg'}."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(
+                f"{path!r} is not an ising-tpu v{FORMAT_VERSION} checkpoint "
+                f"(bad magic {magic!r})")
+        (hlen,) = np.frombuffer(f.read(4), np.uint32)
+        meta = json.loads(f.read(int(hlen)).decode())
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {meta['version']}")
+    meta["cfg"] = SimConfig.from_json(meta.pop("config"))
+    meta["_body_offset"] = len(MAGIC) + 4 + int(hlen)
+    return meta
+
+
+def load_checkpoint_state(path: str, encode=None):
+    """Stream the body back; returns ((black, white), meta).
+
+    With encode (a backend's bit-planes -> storage transform), each row
+    chunk is encoded as it is read and only the backend STORAGE accumulates
+    on device — the resume-side mirror of save_checkpoint_streamed. Without
+    encode, returns full uint8 bit planes (small shapes / inspection).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    meta = read_checkpoint_meta(path)
+    nrows, ncols, c = meta["nrows"], meta["ncols"], meta["chunk_rows"]
+    ch = ncols // 2
+    row_bytes = (ch + 7) // 8
+    schedule, _ = _chunk_schedule(nrows, c)
+    header_len = meta["_body_offset"]
+    expect = header_len + 2 * nrows * row_bytes
+    import os
+    actual = os.path.getsize(path)
+    if actual != expect:
+        raise ValueError(
+            f"checkpoint {path!r} is inconsistent: file is {actual} bytes "
+            f"but the header implies {expect} (truncated or edited file?)")
+
+    bs, ws = [], []
+    with open(path, "rb") as f:
+        f.seek(header_len)
+        for r0, r1 in schedule:
+            n = r1 - r0
+            b = np.unpackbits(
+                np.frombuffer(f.read(n * row_bytes), np.uint8
+                              ).reshape(n, row_bytes), axis=1)[:, :ch]
+            w = np.unpackbits(
+                np.frombuffer(f.read(n * row_bytes), np.uint8
+                              ).reshape(n, row_bytes), axis=1)[:, :ch]
+            if encode is not None:
+                eb, ew = encode(jnp.asarray(b), jnp.asarray(w))
+                jax.block_until_ready((eb, ew))  # bound live transients
+                bs.append(eb)
+                ws.append(ew)
+            else:
+                bs.append(b)
+                ws.append(w)
+    if encode is not None:
+        black = bs[0] if len(bs) == 1 else jnp.concatenate(bs, axis=0)
+        white = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
+    else:
+        black = jnp.asarray(np.concatenate(bs, axis=0))
+        white = jnp.asarray(np.concatenate(ws, axis=0))
+    return (black, white), meta
 
 
 def load_checkpoint(path: str):
-    """Returns (black, white, step, temp, cfg) with planes as jnp arrays."""
-    import jax.numpy as jnp
-
-    with np.load(path) as z:
-        if int(z["version"]) != FORMAT_VERSION:
-            raise ValueError(f"unsupported checkpoint version {z['version']}")
-        rows, cols = (int(v) for v in z["shape"])
-        black = np.unpackbits(z["black"], axis=1)[:, :cols]
-        white = np.unpackbits(z["white"], axis=1)[:, :cols]
-        cfg = SimConfig.from_json(bytes(z["config"]).decode())
-        if rows != cfg.nrows or cols != cfg.ncols // 2:
-            raise ValueError(
-                f"checkpoint {path!r} is inconsistent: stored planes are "
-                f"{rows}x{cols} but the embedded config says "
-                f"{cfg.nrows}x{cfg.ncols // 2} (truncated or edited file?)")
-        return (jnp.asarray(black), jnp.asarray(white),
-                int(z["step"]), float(z["temp"]), cfg)
+    """Returns (black, white, step, temp, cfg) with bit planes as jnp
+    arrays (decoded domain). For scale-safe resume use
+    load_checkpoint_state(path, backend.encode) instead."""
+    (black, white), meta = load_checkpoint_state(path)
+    return black, white, meta["step"], meta["temp"], meta["cfg"]

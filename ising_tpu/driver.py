@@ -122,12 +122,21 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
 class Simulation:
     """One Ising MC run: state + jitted stepper + measurement loop."""
 
-    def __init__(self, cfg: SimConfig, *, state=None, step0: int = 0,
-                 temp: float | None = None, mesh=None):
+    def __init__(self, cfg: SimConfig, *, state=None, storage=None,
+                 step0: int = 0, temp: float | None = None, mesh=None):
         self.cfg = cfg
         self.temp = float(temp) if temp is not None else cfg.temperature
         self.step = int(step0)
         self.backend = get_backend(cfg)
+
+        # A resumed temperature may differ from cfg's START temperature
+        # (ramp): sync the backend's static accept variant before the
+        # stepper is traced (the same switches set_temperature flips).
+        if self.temp != cfg.temperature:
+            if hasattr(self.backend, "greedy"):
+                self.backend.greedy = self.temp <= 0
+            if getattr(self.backend, "temp_static", False):
+                self.backend.temperature = self.temp
 
         # Quenched disorder (shared by all backends via the link fields).
         # The device store is bit-packed when ncols % 32 == 0 (format is an
@@ -143,7 +152,10 @@ class Simulation:
         self.shardings, self._step_n = make_sharded_stepper(
             cfg, self.backend, mesh=mesh, jplanes=jplanes)
 
-        if state is None:
+        if storage is not None:
+            # Already in this backend's storage domain (streamed resume).
+            b, w = storage
+        elif state is None:
             # Row-chunked init in storage domain: bit-identical to the
             # one-shot path, O(chunk) transient memory (65536^2+ lattices
             # OOM otherwise while their storage fits easily).
@@ -380,15 +392,30 @@ class Simulation:
             lio.dump_lattice(name, *self.bits(), fmt="hex")
 
     def checkpoint(self, path: str):
-        b, w = self.bits()
-        save_checkpoint(path, b, w, step=self.step, temp=self.temp,
-                        cfg=self.cfg)
+        """Streamed save: decodes one row chunk at a time, so host memory
+        stays O(chunk * ncols) even when the decoded planes would not fit
+        (the save point of a 524288x65536 run is ~256 MB transient, not
+        34 GB)."""
+        from .checkpoint import save_checkpoint_streamed
+        save_checkpoint_streamed(
+            path,
+            lambda r0, r1: self.backend.decode(self.black[r0:r1],
+                                               self.white[r0:r1]),
+            self.cfg.nrows, self.cfg.ncols,
+            step=self.step, temp=self.temp, cfg=self.cfg)
 
     @classmethod
     def from_checkpoint(cls, path: str, **overrides):
-        from .checkpoint import load_checkpoint
-        b, w, step, temp, cfg = load_checkpoint(path)
+        """Streamed resume, possibly into a DIFFERENT backend: each row
+        chunk is re-encoded into the target backend's storage as it is
+        read, so only the (compact) storage accumulates on device."""
+        from .checkpoint import load_checkpoint_state, read_checkpoint_meta
+        meta = read_checkpoint_meta(path)
+        cfg = meta["cfg"]
         if overrides:
             import dataclasses
             cfg = dataclasses.replace(cfg, **overrides)
-        return cls(cfg, state=(b, w), step0=step, temp=temp)
+        be = get_backend(cfg)
+        (b, w), meta = load_checkpoint_state(path, be.encode)
+        return cls(cfg, storage=(b, w), step0=meta["step"],
+                   temp=meta["temp"])

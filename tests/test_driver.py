@@ -273,3 +273,66 @@ def test_energy_with_disorder_streamed_matches_direct():
         v, h = ising.generate_disorder_links(cfg.seed, 16, 64, 0.4)
         want = observables.energy_per_spin(*sim.bits(), v, h)
         assert sim.energy() == pytest.approx(want, abs=1e-12), backend
+
+def test_checkpoint_streamed_chunks_match_one_shot(tmp_path):
+    """Tiny-chunk streamed save round-trips to the same state as the
+    one-chunk save (the body interleaves black/white per chunk, so bytes
+    legitimately differ; the LOADED state must not), and the chunk-encoded
+    resume continues the exact trajectory."""
+    from ising_tpu.checkpoint import (load_checkpoint,
+                                      load_checkpoint_state,
+                                      save_checkpoint_streamed)
+    base = dict(nrows=16, ncols=32, temp=1.8, seed=11, backend="packed")
+    s = Simulation(SimConfig(niters=10, **base))
+    s.advance(5)
+    be = s.backend
+    dec = lambda r0, r1: be.decode(s.black[r0:r1], s.white[r0:r1])
+    p1 = str(tmp_path / "one.ck")
+    p2 = str(tmp_path / "chunked.ck")
+    save_checkpoint_streamed(p1, dec, 16, 32, step=5, temp=s.temp, cfg=s.cfg)
+    save_checkpoint_streamed(p2, dec, 16, 32, step=5, temp=s.temp, cfg=s.cfg,
+                             chunk_rows=4)
+    b1, w1, *_ = load_checkpoint(p1)
+    b2, w2, *_ = load_checkpoint(p2)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    # storage-domain resume (chunk-wise encode) == bits-domain resume
+    (b_store, w_store), meta = load_checkpoint_state(p2, be.encode)
+    np.testing.assert_array_equal(np.asarray(b_store), np.asarray(s.black))
+    assert meta["step"] == 5
+    s3 = Simulation.from_checkpoint(p2)
+    s.advance(5)
+    s3.advance(5)
+    np.testing.assert_array_equal(np.asarray(s.bits()[0]),
+                                  np.asarray(s3.bits()[0]))
+
+
+def test_checkpoint_truncated_file_rejected(tmp_path):
+    base = dict(nrows=16, ncols=32, temp=1.8, seed=11)
+    s = Simulation(SimConfig(niters=2, **base))
+    path = str(tmp_path / "ck.bin")
+    s.checkpoint(path)
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[:-7])
+    with pytest.raises(ValueError, match="truncated"):
+        Simulation.from_checkpoint(path)
+    open(path, "wb").write(b"NOTACKPT" + blob[8:])
+    with pytest.raises(ValueError, match="magic"):
+        Simulation.from_checkpoint(path)
+
+
+def test_checkpoint_resume_syncs_static_temp_backend(tmp_path):
+    """Resuming a ramped run on a temp_static backend (bit1-hw) must bake
+    the RESUMED temperature into the kernel, not cfg's start temperature."""
+    cfg = SimConfig(nrows=16, ncols=64, temp=2.5, seed=7, backend="bit1",
+                    rng="hw")
+    s = Simulation(cfg)
+    s.advance(2)
+    s.set_temperature(1.0)
+    s.advance(2)
+    path = str(tmp_path / "ck.bin")
+    s.checkpoint(path)
+    s2 = Simulation.from_checkpoint(path)
+    assert s2.temp == pytest.approx(1.0)
+    assert s2.backend.temperature == pytest.approx(1.0)
+    s2.advance(1)  # and the stepper traces with the synced thresholds
