@@ -36,6 +36,35 @@ def _chunk_schedule(nrows: int, chunk_rows: int):
     return [(r, min(nrows, r + c)) for r in range(0, nrows, c)], c
 
 
+def _pack_rows(bits):
+    """(n, ch) {0,1} plane -> (n, ceil(ch/8)) packed bytes, np.packbits
+    byte order (MSB-first). Device arrays pack ON DEVICE so only the packed
+    bytes cross the host link — 8x less traffic, which matters through a
+    remote-TPU tunnel (34 GB -> 4.3 GB at the 524288x65536 flagship shape).
+    """
+    if isinstance(bits, np.ndarray):
+        return np.packbits(bits, axis=1)
+    import jax.numpy as jnp
+    n, ch = bits.shape
+    pad = (-ch) % 8
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    g = bits.reshape(n, (ch + pad) // 8, 8).astype(jnp.uint8)
+    out = jnp.zeros(g.shape[:2], jnp.uint8)
+    for z in range(8):
+        out = out | (g[:, :, z] << (7 - z))
+    return np.asarray(out)  # device_get of the packed bytes only
+
+
+def _unpack_rows_device(packed_np, ch: int):
+    """(n, nb) packed bytes -> (n, ch) device uint8 plane, unpacking ON
+    DEVICE (upload the bytes, not the decoded plane)."""
+    import jax.numpy as jnp
+    d = jnp.asarray(packed_np)
+    cols = [(d >> (7 - z)) & 1 for z in range(8)]
+    return jnp.stack(cols, axis=2).reshape(d.shape[0], 8 * d.shape[1])[:, :ch]
+
+
 def save_checkpoint_streamed(path: str, decode_rows, nrows: int, ncols: int,
                              *, step: int, temp: float, cfg: SimConfig,
                              chunk_rows: int = 8192) -> None:
@@ -63,14 +92,12 @@ def save_checkpoint_streamed(path: str, decode_rows, nrows: int, ncols: int,
         f.write(header)
         for r0, r1 in schedule:
             b, w = decode_rows(r0, r1)
-            b = np.asarray(b, dtype=np.uint8)
-            w = np.asarray(w, dtype=np.uint8)
             if b.shape != (r1 - r0, ch):
                 raise ValueError(
                     f"decode_rows({r0},{r1}) returned shape {b.shape}, "
                     f"expected {(r1 - r0, ch)}")
-            f.write(np.packbits(b, axis=1).tobytes())
-            f.write(np.packbits(w, axis=1).tobytes())
+            f.write(_pack_rows(b).tobytes())
+            f.write(_pack_rows(w).tobytes())
 
 
 def save_checkpoint(path: str, black, white, *, step: int, temp: float,
@@ -130,20 +157,21 @@ def load_checkpoint_state(path: str, encode=None):
         f.seek(header_len)
         for r0, r1 in schedule:
             n = r1 - r0
-            b = np.unpackbits(
-                np.frombuffer(f.read(n * row_bytes), np.uint8
-                              ).reshape(n, row_bytes), axis=1)[:, :ch]
-            w = np.unpackbits(
-                np.frombuffer(f.read(n * row_bytes), np.uint8
-                              ).reshape(n, row_bytes), axis=1)[:, :ch]
+            pb = np.frombuffer(f.read(n * row_bytes), np.uint8
+                               ).reshape(n, row_bytes)
+            pw = np.frombuffer(f.read(n * row_bytes), np.uint8
+                               ).reshape(n, row_bytes)
             if encode is not None:
-                eb, ew = encode(jnp.asarray(b), jnp.asarray(w))
+                # Upload the packed BYTES and unpack on device (8x less
+                # host-link traffic; see _pack_rows).
+                eb, ew = encode(_unpack_rows_device(pb, ch),
+                                _unpack_rows_device(pw, ch))
                 jax.block_until_ready((eb, ew))  # bound live transients
                 bs.append(eb)
                 ws.append(ew)
             else:
-                bs.append(b)
-                ws.append(w)
+                bs.append(np.unpackbits(pb, axis=1)[:, :ch])
+                ws.append(np.unpackbits(pw, axis=1)[:, :ch])
     if encode is not None:
         black = bs[0] if len(bs) == 1 else jnp.concatenate(bs, axis=0)
         white = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)

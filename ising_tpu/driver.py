@@ -80,20 +80,23 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
     reference itself supports -J); chunked generation is bit-identical
     (counter-based link draws + row-local projections, with the one v halo
     row each chunk's j_up needs). The (v, h) link planes stay on device
-    BIT-PACKED when ncols % 32 == 0 (1/8 the bytes; at 65536^2 the 8.6 GB
-    of uint8 links plus the sweep's working set did not fit) and unpack
-    per slab in the streamed observables (Simulation._links_slab).
+    BIT-PACKED when ncols % 64 == 0 (1/8 the bytes; at 65536^2 the 8.6 GB
+    of uint8 links plus the sweep's working set did not fit), stored
+    PARITY-SPLIT as (vE, vO, hE, hO) word planes — the layout the bit1
+    word-domain disordered energy consumes directly
+    (observables._bit1_energy_block_dis); the streamed byte-plane
+    observables re-interleave per slab (Simulation._links_slab).
     """
     Y, X = cfg.nrows, cfg.ncols
     enc = getattr(backend, "encode_jplanes", lambda p: p)
-    links_packed = X % 32 == 0
+    links_packed = X % 64 == 0
     if links_packed:
         from .ops.pallas_bit1 import pack_bits1
     R = min(Y, chunk_rows)
     R -= R % 2  # chunks must be even-height (row-parity preserving)
     while Y % R:
         R -= 2
-    v_parts, h_parts, jb_parts, jw_parts = [], [], [], []
+    link_parts, jb_parts, jw_parts = [], [], []
     for r in range(0, Y, R):
         v_s, h_s = ising.generate_disorder_links(
             cfg.seed, Y, X, cfg.j_prob, row0=r, local_rows=R)
@@ -107,16 +110,17 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
         jw_parts.append(tuple(enc(
             links_to_color_planes(v_s, h_s, WHITE, v_up=v_up))))
         if links_packed:
-            v_s, h_s = pack_bits1(v_s), pack_bits1(h_s)
-        v_parts.append(v_s)
-        h_parts.append(h_s)
+            link_parts.append((pack_bits1(v_s[:, 0::2]),
+                               pack_bits1(v_s[:, 1::2]),
+                               pack_bits1(h_s[:, 0::2]),
+                               pack_bits1(h_s[:, 1::2])))
+        else:
+            link_parts.append((v_s, h_s))
         jax.block_until_ready((jb_parts[-1], jw_parts[-1]))
     cat = (lambda ps: ps[0] if len(ps) == 1 else
            tuple(jnp.concatenate([p[i] for p in ps])
                  for i in range(len(ps[0]))))
-    links = (v_parts[0] if len(v_parts) == 1 else jnp.concatenate(v_parts),
-             h_parts[0] if len(h_parts) == 1 else jnp.concatenate(h_parts))
-    return links, links_packed, (cat(jb_parts), cat(jw_parts))
+    return cat(link_parts), links_packed, (cat(jb_parts), cat(jw_parts))
 
 
 class Simulation:
@@ -170,11 +174,16 @@ class Simulation:
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
 
     def _links_slab(self, r: int, n: int):
-        """(v, h) uint8 link rows [r, r+n) (unpacking the packed store)."""
-        v, h = self._links_store
+        """(v, h) uint8 link rows [r, r+n) (unpacking + re-interleaving the
+        parity-split packed store)."""
         if self._links_packed:
             from .ops.pallas_bit1 import unpack_bits1
-            return unpack_bits1(v[r:r + n]), unpack_bits1(h[r:r + n])
+            vE, vO, hE, hO = (unpack_bits1(p[r:r + n])
+                              for p in self._links_store)
+            inter = lambda a, b: jnp.stack([a, b], axis=2).reshape(
+                a.shape[0], 2 * a.shape[1])
+            return inter(vE, vO), inter(hE, hO)
+        v, h = self._links_store
         return v[r:r + n], h[r:r + n]
 
     def links(self):
@@ -339,11 +348,17 @@ class Simulation:
                                    _rows_wrap(self.white, r, n))
 
     def energy(self) -> float:
-        """Internal energy per spin. Word-domain fast path on bit1;
-        otherwise streamed from storage per row slab (a full-lattice decode
-        plus resident disorder links does not fit at 65536^2-per-chip)."""
+        """Internal energy per spin. Word-domain fast path on bit1 (both
+        ordered and disordered — the parity-split packed link store feeds
+        the word XORs directly); otherwise streamed from storage per row
+        slab (a full-lattice decode plus resident disorder links does not
+        fit at 65536^2-per-chip)."""
         if self._links_store is None and hasattr(self.backend, "energy_rows"):
             rows = self.backend.energy_rows(self.black, self.white)
+        elif (self._links_store is not None and self._links_packed
+              and hasattr(self.backend, "energy_rows_disordered")):
+            rows = self.backend.energy_rows_disordered(
+                self.black, self.white, self._links_store)
         else:
             rows = observables.energy_rows_via(
                 self._decode_rows, self.cfg.nrows,

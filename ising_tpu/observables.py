@@ -338,7 +338,7 @@ def _popcount_rows(x):
 
 @jax.jit
 def _bit1_energy_block(e_ext, o_ext):
-    """Word-domain analog of _energy_block (no disorder: bit1 has none)."""
+    """Word-domain analog of _energy_block (ordered case)."""
     R = e_ext.shape[0] - 1
     e0, o0 = e_ext[:R], o_ext[:R]
     ncols = 2 * 32 * e0.shape[1]
@@ -349,8 +349,34 @@ def _bit1_energy_block(e_ext, o_ext):
     return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
 
 
-def bit1_energy_row_sums(black_w, white_w, row_chunk: int = 8192):
-    """energy_row_sums computed directly on bit1 word storage."""
+@jax.jit
+def _bit1_energy_block_dis(e_ext, o_ext, vE, vO, hE, hO):
+    """Quenched-disorder word-domain energy block.
+
+    vE/vO/hE/hO are the antiferro link flags PARITY-SPLIT by full-lattice
+    column (vE[y,j] = v-link flag at site (y, 2j), etc.) and packed in the
+    bit1 word layout — the even/odd-split encoding that makes each bond
+    class one whole-word XOR before the popcount, mirroring the byte-domain
+    _energy_block's hh[:, 0::2] projections (the reference measures its
+    disordered energies in-place packed the same way,
+    optimized/main.cu:870-1070)."""
+    R = e_ext.shape[0] - 1
+    e0, o0 = e_ext[:R], o_ext[:R]
+    ncols = 2 * 32 * e0.shape[1]
+    anti = (_popcount_rows(e0 ^ o0 ^ hE)
+            + _popcount_rows(o0 ^ _col_shift_words(e0, 1) ^ hO)
+            + _popcount_rows(e0 ^ e_ext[1:R + 1] ^ vE)
+            + _popcount_rows(o0 ^ o_ext[1:R + 1] ^ vO))
+    return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
+
+
+def bit1_energy_row_sums(black_w, white_w, links_words=None,
+                         row_chunk: int = 8192):
+    """energy_row_sums computed directly on bit1 word storage.
+
+    links_words: optional (vE, vO, hE, hO) parity-split link flag planes in
+    the same word layout (driver.build_disorder's packed store) — the
+    disordered energy then also runs without any decode."""
     Y = black_w.shape[0]
     R = min(Y, row_chunk)
     while Y % R:
@@ -359,7 +385,12 @@ def bit1_energy_row_sums(black_w, white_w, row_chunk: int = 8192):
     for r in range(0, Y, R):
         e_ext, o_ext = _col_parity_planes(_rows_wrap(black_w, r, R + 1),
                                           _rows_wrap(white_w, r, R + 1))
-        parts.append(_bit1_energy_block(e_ext, o_ext))
+        if links_words is None:
+            parts.append(_bit1_energy_block(e_ext, o_ext))
+        else:
+            vE, vO, hE, hO = (p[r:r + R] for p in links_words)
+            parts.append(_bit1_energy_block_dis(e_ext, o_ext, vE, vO,
+                                                hE, hO))
         _fence(parts[-1])
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 

@@ -26,13 +26,21 @@ optimized/main.cu:40) and computes the neighbor sums bit-sliced:
 Quenched +-J disorder rides as four 1-bit direction-flag planes in the
 same word layout (XORed into the neighbor planes before the adder — the
 bit-sliced analog of the packed tier's J word, +0.5 B/spin-update of
-traffic). Sub-lattice replicas are not supported (use "packed" or "xla");
-multi-device slab sharding is inherited from the shared stepper machinery.
+traffic). Sub-lattice replicas (reference --xsl/--ysl,
+optimized/main.cu:413-458,1423-1463) are supported when the compact
+sub-lattice width csl = xsl/2 divides W1 = ncols/64: compact col
+c = g*W1 + j has c % csl == j % csl for every bit group g, so the
+horizontal wrap is the packed tier's dual lane roll verbatim and the
+vertical wrap rides the block edge arrays. Wider xsl routes to "packed"
+(whose layout admits csl up to ncols/16). Multi-device slab sharding is
+inherited from the shared stepper machinery.
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -147,7 +155,7 @@ def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
 def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                  *rest, color: int, row_block: int, seed: int,
                  rng_mode: str, interp: bool, greedy: bool,
-                 disorder: bool = False,
+                 disorder: bool = False, csl: int | None = None,
                  t4k: int = 0, t8k: int = 0, kbits: int = 24):
     out_ref = rest[-1]
     BY = row_block
@@ -166,12 +174,24 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     # same bit except at j == 0, where it wraps to lane W1-1 one bit down
     # (and bit 0 lane 0 wraps to bit 31 lane W1-1). Mirror for col+1.
     lane = jax.lax.broadcasted_iota(jnp.int32, (BY, W1), 1)
-    last = src[:, W1 - 1:W1]
-    wrapL = (last << 1) | (last >> 31)
-    left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
-    first = src[:, 0:1]
-    wrapR = (first >> 1) | (first << 31)
-    right = jnp.where(lane == W1 - 1, wrapR, pltpu.roll(src, W1 - 1, 1))
+    if csl is None:
+        last = src[:, W1 - 1:W1]
+        wrapL = (last << 1) | (last >> 31)
+        left = jnp.where(lane == 0, wrapL, pltpu.roll(src, 1, 1))
+        first = src[:, 0:1]
+        wrapR = (first >> 1) | (first << 31)
+        right = jnp.where(lane == W1 - 1, wrapR, pltpu.roll(src, W1 - 1, 1))
+    else:
+        # Sub-lattice replica wrap: csl | W1, so col c % csl == lane % csl
+        # in every bit group and the wrap never crosses a bit boundary —
+        # a second lane roll selected at sub-lattice edge lanes (the same
+        # construction as the packed tier's csl path).
+        left = jnp.where(lane % csl == 0,
+                         pltpu.roll(src, (W1 - csl + 1) % W1, 1),
+                         pltpu.roll(src, 1, 1))
+        right = jnp.where(lane % csl == csl - 1,
+                          pltpu.roll(src, csl - 1, 1),
+                          pltpu.roll(src, W1 - 1, 1))
     odd = (jax.lax.broadcasted_iota(jnp.int32, (BY, W1), 0) % 2) == 1
     off = jnp.where(odd, right, left) if color == BLACK \
         else jnp.where(odd, left, right)
@@ -272,18 +292,21 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "color", "seed", "rng_mode", "interpret", "greedy",
+    "color", "seed", "rng_mode", "interpret", "greedy", "csl", "ysl",
     "t4k", "t8k", "kbits"))
 def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
                *, color: int, seed: int, rng_mode: str = "threefry13",
                interpret: bool = False, greedy: bool = False,
+               csl: int | None = None, ysl: int | None = None,
                t4k: int = 0, t8k: int = 0, kbits: int = 24):
     """One color half-sweep over the 1-bit (H, W1) plane.
 
     jplanes: optional (j_up, j_dn, j_same, j_off) disorder planes in the
-    same (H, W1) word layout. t4k/t8k/kbits are only consumed in hw /
-    bit-plane modes: static k-bit acceptance thresholds for the bit-serial
-    compare (ising.bernoulli_kbit_thresholds).
+    same (H, W1) word layout. csl/ysl: sub-lattice replica geometry in
+    compact columns / rows (csl must divide W1; the vertical wrap rides
+    the block edge arrays like the packed tier). t4k/t8k/kbits are only
+    consumed in hw / bit-plane modes: static k-bit acceptance thresholds
+    for the bit-serial compare (ising.bernoulli_kbit_thresholds).
     """
     H, W1 = dst.shape
     fam = parse_rng_mode(rng_mode)[0]
@@ -293,10 +316,19 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
         width = 8 * W1
     else:
         width = 16 * W1
-    BY = _block_rows_for(H, width, rng_mode)
+    # In replica mode the block height divides ysl, so vertical wrap rows
+    # are always block-edge rows and ride the edge arrays below.
+    BY = _block_rows_for(min(H, ysl) if ysl else H, width, rng_mode)
     nblk = H // BY
 
-    if nblk > 1:
+    if ysl:
+        tops = np.arange(nblk) * BY
+        top_src = np.where(tops % ysl != 0, tops - 1, tops + ysl - 1)
+        bots = (np.arange(nblk) + 1) * BY - 1
+        bot_src = np.where((bots + 1) % ysl != 0, bots + 1, bots - ysl + 1)
+        ups = jnp.take(src, jnp.asarray(top_src), axis=0)
+        dns = jnp.take(src, jnp.asarray(bot_src), axis=0)
+    elif nblk > 1:
         ups = jnp.concatenate([src_up, src[BY - 1::BY][:-1]], axis=0)
         dns = jnp.concatenate([src[BY::BY], src_dn], axis=0)
     else:
@@ -312,7 +344,8 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
     kernel = functools.partial(
         _bit1_kernel, color=color, row_block=BY, seed=seed,
         rng_mode=rng_mode, interp=interpret, greedy=greedy,
-        disorder=jplanes is not None, t4k=t4k, t8k=t8k, kbits=kbits)
+        disorder=jplanes is not None, csl=csl, t4k=t4k, t8k=t8k,
+        kbits=kbits)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
@@ -348,9 +381,25 @@ class Bit1Backend:
     bytes_per_spin = 0.125
 
     def __init__(self, cfg):
+        self.csl = None
+        self.ysl = None
         if cfg.xsl is not None:
-            raise NotImplementedError(
-                "bit1 backend has no sub-lattice mode; use packed or xla")
+            # Replica geometry constraints of the 1-bit layout (mirrors the
+            # packed tier's divisibility fences and the reference's own
+            # tile math, optimized/main.cu:1440-1453): csl = xsl/2 must
+            # divide W1 = ncols/64 so the wrap never crosses a bit group,
+            # and ysl must admit a block height (multiple of 8 rows).
+            csl = cfg.xsl // 2
+            W1 = cfg.ncols // (2 * SPW)
+            if W1 % csl:
+                raise ValueError(
+                    f"bit1 replica mode needs xsl/2 ({csl}) to divide "
+                    f"ncols/64 ({W1}); use xsl <= ncols/32 or the packed "
+                    "backend (which admits xsl up to ncols/8)")
+            if cfg.ysl % 8:
+                raise ValueError("bit1 replica mode needs ysl % 8 == 0")
+            self.csl = csl
+            self.ysl = cfg.ysl
         self.cfg = cfg
         self.greedy = cfg.temperature <= 0
         self.interpret = jax.default_backend() == "cpu"
@@ -413,6 +462,13 @@ class Bit1Backend:
         from .. import observables
         return observables.bit1_energy_row_sums(black_store, white_store)
 
+    def energy_rows_disordered(self, black_store, white_store, links_words):
+        """Disordered energy without decode: links_words is the driver's
+        parity-split (vE, vO, hE, hO) packed link store."""
+        from .. import observables
+        return observables.bit1_energy_row_sums(black_store, white_store,
+                                                links_words=links_words)
+
     def corr_rows(self, black_store, white_store, corr_len):
         from .. import observables
         return observables.bit1_correlation_row_sums(
@@ -433,4 +489,5 @@ class Bit1Backend:
                           jnp.uint32(row0), step, jplanes, color=color,
                           seed=self.cfg.seed, rng_mode=self.cfg.rng,
                           interpret=self.interpret, greedy=self.greedy,
+                          csl=self.csl, ysl=self.ysl,
                           t4k=t4k, t8k=t8k, kbits=self.accept_bits)

@@ -837,15 +837,15 @@ class PackedBackend:
         """Whether the fused both-colors step applies (single device, no
         replica/disorder modes, enough row blocks to pipeline).
 
-        Two fused implementations exist, both bit-exact vs the two-call
-        path:
-          * ISING_TPU_FUSED=1 — v1, BlockSpec windows + cross-grid-step
-            VMEM scratch. Mosaic serializes its pipeline (~40% slower than
-            two calls at 16384^2); kept as the measured baseline.
-          * ISING_TPU_FUSED=2 — v2, explicit double-buffered DMA with the
-            planes in HBM (ANY memory space): 4-plane traffic AND overlap.
-        Selection stays env-gated until v2's TPU numbers are in; the
-        two-call path remains the default.
+        DECIDED (round 2, PERF.md "Fused two-phase packed kernel"): the
+        TWO-CALL path ships as the default. Both fused variants were built,
+        verified bit-exact, and measured SLOWER on v5e — v1 (BlockSpec
+        windows + VMEM scratch) serializes Mosaic's pipeline (~40% slower
+        at 16384^2); v2 (explicit double-buffered DMA, planes in ANY/HBM)
+        tops out at ~340 GB/s vs the auto-pipelined two-call path's
+        645 GB/s. They remain behind ISING_TPU_FUSED=1|2 purely as
+        documented, reproducible ablations (scripts/bench_fused.py,
+        scripts/experiments/); nothing selects them by default.
         """
         import os
         mode = os.environ.get("ISING_TPU_FUSED")

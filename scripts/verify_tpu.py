@@ -109,7 +109,7 @@ def main(argv=None):
     ok = True
     if args.backend == "bit1":
         # bit1 requires ncols % 8192 on compiled TPU (W1 = ncols/64 must
-        # fill 128-lane registers); no replica mode.
+        # fill 128-lane registers); replica needs xsl/2 | W1.
         cases = [
             dict(nrows=64, ncols=8192, rng="philox"),
             dict(nrows=64, ncols=8192, rng="threefry13"),
@@ -121,6 +121,9 @@ def main(argv=None):
             # bit-sliced J-XOR disorder
             dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3),
             dict(nrows=64, ncols=8192, rng="philox7b", j_prob=0.3),
+            # sub-lattice replica wrap (dual lane roll + edge-array rows)
+            dict(nrows=64, ncols=8192, rng="philox", xsl=64, ysl=16),
+            dict(nrows=64, ncols=8192, rng="threefry13b", xsl=64, ysl=16),
         ]
     else:
         # mxu needs nrows and ncols/2 to be multiples of 128.

@@ -302,7 +302,10 @@ def test_bit1_pack_round_trip():
 
 
 def test_bit1_rejects_unsupported():
-    with pytest.raises(NotImplementedError):
+    # xsl/2 = 4 exceeds W1 = ncols/64 = 1: geometry the 1-bit layout
+    # cannot wrap in-lane (replica mode itself IS supported; see the
+    # test_bit1_sublattice_* cases).
+    with pytest.raises(ValueError, match="divide"):
         get_backend(SimConfig(nrows=16, ncols=64, backend="bit1",
                               xsl=8, ysl=8))
 
@@ -319,3 +322,43 @@ def test_bit1_disorder_matches_xla(rng):
           lattice.links_to_color_planes(v, h, WHITE))
     assert_same_trajectory(cfg, SimConfig(backend="bit1", **base), jp=jp,
                            nsteps=3)
+
+def test_bit1_sublattice_matches_xla():
+    # W1 = ncols/64 = 4; csl = xsl/2 = 2 divides it; ysl = 8.
+    base = dict(nrows=16, ncols=256, temp=1.5, seed=21, xsl=4, ysl=8)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base))
+
+
+def test_bit1_sublattice_full_width_groups():
+    # csl == W1 edge case: the wrap roll spans the whole lane dimension.
+    base = dict(nrows=16, ncols=128, temp=1.6, seed=23, xsl=4, ysl=8)
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base))
+
+
+def test_bit1_sublattice_multiblock():
+    # Vertical sub-lattice wrap through the block edge arrays (BY < H).
+    import ising_tpu.ops.pallas_dense as pd
+    orig = pd._pick_block_rows
+    pd._pick_block_rows = lambda nrows, target=256: 8
+    try:
+        base = dict(nrows=32, ncols=256, temp=1.7, seed=31, xsl=4, ysl=16)
+        assert_same_trajectory(SimConfig(backend="xla", **base),
+                               SimConfig(backend="bit1", **base))
+    finally:
+        pd._pick_block_rows = orig
+
+
+def test_bit1_sublattice_bitplane_rng():
+    # Replica wrap composed with the bit-serial accept path ("...b" modes).
+    base = dict(nrows=16, ncols=256, temp=1.5, seed=77, xsl=4, ysl=8,
+                rng="threefry13b")
+    assert_same_trajectory(SimConfig(backend="xla", **base),
+                           SimConfig(backend="bit1", **base))
+
+
+def test_bit1_sublattice_rejects_bad_geometry():
+    with pytest.raises(ValueError, match="divide"):
+        get_backend(SimConfig(nrows=16, ncols=128, backend="bit1",
+                              xsl=8, ysl=8))  # csl=4 > W1=2

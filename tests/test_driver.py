@@ -336,3 +336,21 @@ def test_checkpoint_resume_syncs_static_temp_backend(tmp_path):
     assert s2.temp == pytest.approx(1.0)
     assert s2.backend.temperature == pytest.approx(1.0)
     s2.advance(1)  # and the stepper traces with the synced thresholds
+
+def test_bit1_disordered_energy_word_domain(tmp_path):
+    """Driver energy() on disordered bit1 takes the no-decode word path and
+    agrees exactly with the streamed byte-plane path (xla backend, same
+    trajectory)."""
+    base = dict(nrows=16, ncols=128, temp=1.5, seed=9, j_prob=0.35)
+    sb = Simulation(SimConfig(backend="bit1", **base))
+    sx = Simulation(SimConfig(backend="xla", **base))
+    sb.advance(3)
+    sx.advance(3)
+    np.testing.assert_array_equal(np.asarray(sb.bits()[0]),
+                                  np.asarray(sx.bits()[0]))
+    assert sb.energy() == sx.energy()
+    # the public links() accessor round-trips the parity-split store
+    lv, lh = sb.links()
+    lv2, lh2 = sx.links()
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(lv2))
+    np.testing.assert_array_equal(np.asarray(lh), np.asarray(lh2))

@@ -211,3 +211,23 @@ def test_driver_energy_and_corr_word_path(tmp_path):
         assert lines[0].split() == lines[1].split()  # identical values
     finally:
         os.chdir(cwd)
+
+def test_bit1_energy_rows_disordered_match_full():
+    """Word-domain disordered energy (parity-split packed links) is
+    bit-exact vs the full-lattice int32 formulation."""
+    from ising_tpu.ops.pallas_bit1 import pack_bits1
+    rs = np.random.RandomState(7)
+    Y, X = 16, 128
+    b, w = random_planes(Y, X, 7)
+    v = jnp.asarray(rs.randint(0, 2, size=(Y, X)).astype(np.uint8))
+    h = jnp.asarray(rs.randint(0, 2, size=(Y, X)).astype(np.uint8))
+    links_words = (pack_bits1(v[:, 0::2]), pack_bits1(v[:, 1::2]),
+                   pack_bits1(h[:, 0::2]), pack_bits1(h[:, 1::2]))
+    got = observables.bit1_energy_row_sums(
+        pack_bits1(b), pack_bits1(w), links_words=links_words)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(full_energy_rows(b, w, v, h)))
+    # multi-chunk streaming path
+    got2 = observables.bit1_energy_row_sums(
+        pack_bits1(b), pack_bits1(w), links_words=links_words, row_chunk=4)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(got))
