@@ -96,6 +96,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
     plat = jax.devices()[0].platform
