@@ -96,19 +96,28 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
     R -= R % 2  # chunks must be even-height (row-parity preserving)
     while Y % R:
         R -= 2
+    # When the backend can project the link fields in-kernel (bit1,
+    # single device), the parity-split link store IS the jplanes for both
+    # colors — no per-color jb/jw planes get built or stored at all
+    # (resident disorder drops 3x: what unlocked 131072x65536 + links).
+    split = links_packed and getattr(backend, "split_links_capable", False)
+    if split:
+        backend.split_links = True
     link_parts, jb_parts, jw_parts = [], [], []
     for r in range(0, Y, R):
         v_s, h_s = ising.generate_disorder_links(
             cfg.seed, Y, X, cfg.j_prob, row0=r, local_rows=R)
-        if R == Y:
-            v_up = None
-        else:
-            v_up, _ = ising.generate_disorder_links(
-                cfg.seed, Y, X, cfg.j_prob, row0=(r - 1) % Y, local_rows=1)
-        jb_parts.append(tuple(enc(
-            links_to_color_planes(v_s, h_s, BLACK, v_up=v_up))))
-        jw_parts.append(tuple(enc(
-            links_to_color_planes(v_s, h_s, WHITE, v_up=v_up))))
+        if not split:
+            if R == Y:
+                v_up = None
+            else:
+                v_up, _ = ising.generate_disorder_links(
+                    cfg.seed, Y, X, cfg.j_prob, row0=(r - 1) % Y,
+                    local_rows=1)
+            jb_parts.append(tuple(enc(
+                links_to_color_planes(v_s, h_s, BLACK, v_up=v_up))))
+            jw_parts.append(tuple(enc(
+                links_to_color_planes(v_s, h_s, WHITE, v_up=v_up))))
         if links_packed:
             link_parts.append((pack_bits1(v_s[:, 0::2]),
                                pack_bits1(v_s[:, 1::2]),
@@ -116,11 +125,14 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
                                pack_bits1(h_s[:, 1::2])))
         else:
             link_parts.append((v_s, h_s))
-        jax.block_until_ready((jb_parts[-1], jw_parts[-1]))
+        jax.block_until_ready((link_parts[-1], jb_parts[-1:], jw_parts[-1:]))
     cat = (lambda ps: ps[0] if len(ps) == 1 else
            tuple(jnp.concatenate([p[i] for p in ps])
                  for i in range(len(ps[0]))))
-    return cat(link_parts), links_packed, (cat(jb_parts), cat(jw_parts))
+    links = cat(link_parts)
+    if split:
+        return links, links_packed, (links, links)
+    return links, links_packed, (cat(jb_parts), cat(jw_parts))
 
 
 class Simulation:

@@ -155,7 +155,8 @@ def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
 def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                  *rest, color: int, row_block: int, seed: int,
                  rng_mode: str, interp: bool, greedy: bool,
-                 disorder: bool = False, csl: int | None = None,
+                 disorder: bool = False, split_links: bool = False,
+                 csl: int | None = None,
                  t4k: int = 0, t8k: int = 0, kbits: int = 24):
     out_ref = rest[-1]
     BY = row_block
@@ -197,7 +198,48 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         else jnp.where(odd, left, right)
 
     same = src
-    if disorder:
+    if disorder and split_links:
+        # Derive this color's four direction-flag planes IN-KERNEL from the
+        # parity-split link store (vE, vO, hE, hO: the v/h antiferro flag
+        # at full-lattice column 2c / 2c+1). This is links_to_color_planes
+        # evaluated on words: ~10 vector ops per word, hidden under the
+        # PRNG-bound kernel, and it removes the 3x-redundant resident
+        # jb/jw planes (the disorder store shrinks from 4 to 2 bits/site
+        # overall — what unlocked 131072x65536 disordered runs).
+        vE, vO, hE, hO = (r[...] for r in rest[:4])
+        vupE_row = rest[4][pl.ds(i, 1), :]
+        vupO_row = rest[5][pl.ds(i, 1), :]
+        vEu = jnp.concatenate([vupE_row, vE[:-1]], axis=0)  # v rows y-1
+        vOu = jnp.concatenate([vupO_row, vO[:-1]], axis=0)
+
+        def roll_left(p):
+            # word plane of compact col c-1 (periodic), same wrap as the
+            # off-column neighbor's left roll
+            lastp = p[:, W1 - 1:W1]
+            wrap = (lastp << 1) | (lastp >> 31)
+            return jnp.where(lane == 0, wrap, pltpu.roll(p, 1, 1))
+
+        # col_color(y, c) is even (the E plane) iff row parity matches the
+        # color: black sits on even columns of even rows.
+        if color == BLACK:
+            j_dn = jnp.where(odd, vO, vE)
+            j_up = jnp.where(odd, vOu, vEu)
+            j_right = jnp.where(odd, hO, hE)
+            j_left = jnp.where(odd, hE, roll_left(hO))
+            same_is_right = ~odd
+        else:
+            j_dn = jnp.where(odd, vE, vO)
+            j_up = jnp.where(odd, vEu, vOu)
+            j_right = jnp.where(odd, hE, hO)
+            j_left = jnp.where(odd, roll_left(hO), hE)
+            same_is_right = odd
+        j_same = jnp.where(same_is_right, j_right, j_left)
+        j_off = jnp.where(same_is_right, j_left, j_right)
+        up = up ^ j_up
+        dn = dn ^ j_dn
+        same = same ^ j_same
+        off = off ^ j_off
+    elif disorder:
         # Quenched +-J: the four direction flags ride as 1-bit planes in
         # the same word layout; neighbor XOR stays one vector op per plane
         # (the bit-sliced analog of the packed tier's J-XOR,
@@ -293,20 +335,25 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "color", "seed", "rng_mode", "interpret", "greedy", "csl", "ysl",
-    "t4k", "t8k", "kbits"))
+    "split_links", "t4k", "t8k", "kbits"))
 def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
                *, color: int, seed: int, rng_mode: str = "threefry13",
                interpret: bool = False, greedy: bool = False,
                csl: int | None = None, ysl: int | None = None,
+               split_links: bool = False,
                t4k: int = 0, t8k: int = 0, kbits: int = 24):
     """One color half-sweep over the 1-bit (H, W1) plane.
 
-    jplanes: optional (j_up, j_dn, j_same, j_off) disorder planes in the
-    same (H, W1) word layout. csl/ysl: sub-lattice replica geometry in
-    compact columns / rows (csl must divide W1; the vertical wrap rides
-    the block edge arrays like the packed tier). t4k/t8k/kbits are only
-    consumed in hw / bit-plane modes: static k-bit acceptance thresholds
-    for the bit-serial compare (ising.bernoulli_kbit_thresholds).
+    jplanes: optional disorder planes in the same (H, W1) word layout —
+    either this color's (j_up, j_dn, j_same, j_off) projections, or, with
+    split_links=True, the shared parity-split (vE, vO, hE, hO) link store
+    from which the kernel derives the projections itself (single-device
+    periodic wrap; 2 bits/site resident instead of 4+2). csl/ysl:
+    sub-lattice replica geometry in compact columns / rows (csl must
+    divide W1; the vertical wrap rides the block edge arrays like the
+    packed tier). t4k/t8k/kbits are only consumed in hw / bit-plane
+    modes: static k-bit acceptance thresholds for the bit-serial compare
+    (ising.bernoulli_kbit_thresholds).
     """
     H, W1 = dst.shape
     fam = parse_rng_mode(rng_mode)[0]
@@ -344,8 +391,8 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
     kernel = functools.partial(
         _bit1_kernel, color=color, row_block=BY, seed=seed,
         rng_mode=rng_mode, interp=interpret, greedy=greedy,
-        disorder=jplanes is not None, csl=csl, t4k=t4k, t8k=t8k,
-        kbits=kbits)
+        disorder=jplanes is not None, split_links=split_links, csl=csl,
+        t4k=t4k, t8k=t8k, kbits=kbits)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
@@ -360,6 +407,16 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
         in_specs += [pl.BlockSpec((BY, W1), blk, memory_space=pltpu.VMEM)
                      for _ in range(4)]
         args += list(jplanes)
+        if split_links:
+            # The in-kernel j_up derivation needs the v rows above each
+            # block (periodic): edge arrays like ups/dns, for vE and vO.
+            vE, vO = jplanes[0], jplanes[1]
+            vupsE = jnp.concatenate([vE[-1:], vE[BY - 1::BY][:-1]], axis=0)
+            vupsO = jnp.concatenate([vO[-1:], vO[BY - 1::BY][:-1]], axis=0)
+            in_specs += [pl.BlockSpec((nblk, W1), whole,
+                                      memory_space=pltpu.VMEM)
+                         for _ in range(2)]
+            args += [vupsE, vupsO]
 
     return pl.pallas_call(
         kernel,
@@ -426,6 +483,17 @@ class Bit1Backend:
             raise ValueError(
                 "bit1 backend on TPU requires ncols % 8192 == 0; "
                 "use the packed backend for smaller lattices")
+        # Single-device unsharded runs can consume the parity-split link
+        # store directly (in-kernel projection): 2 bits/site of resident
+        # disorder instead of 4 (jb+jw) + 2 (links). Sharded/replica runs
+        # keep the precomputed per-color planes (their vertical wrap
+        # crosses slab/sub-lattice boundaries). The DRIVER flips
+        # split_links on when it passes the link store as jplanes
+        # (build_disorder); callers passing per-color projections leave it
+        # False.
+        self.split_links_capable = (cfg.ndev == 1 and cfg.xsl is None
+                                    and cfg.ncols % 64 == 0)
+        self.split_links = False
 
     def encode(self, black_bits, white_bits):
         return pack_bits1(black_bits), pack_bits1(white_bits)
@@ -449,11 +517,10 @@ class Bit1Backend:
         return jnp.concatenate(outs[0]), jnp.concatenate(outs[1])
 
     def row_up_counts(self, black_store, white_store):
-        """Popcount magnetization straight on the 1-bit words."""
-        def rows(p):
-            return jnp.sum(jax.lax.population_count(p).astype(jnp.uint32),
-                           axis=1)
-        return rows(black_store) + rows(white_store)
+        """Popcount magnetization straight on the 1-bit words (jit-fused,
+        row-chunked — see observables.word_row_up_counts)."""
+        from ..observables import word_row_up_counts
+        return word_row_up_counts(black_store, white_store)
 
     # Word-domain energy/correlation (observables.py): XOR + popcount on
     # the packed words, no decode — the full measurement pipeline runs at
@@ -490,4 +557,6 @@ class Bit1Backend:
                           seed=self.cfg.seed, rng_mode=self.cfg.rng,
                           interpret=self.interpret, greedy=self.greedy,
                           csl=self.csl, ysl=self.ysl,
+                          split_links=self.split_links
+                          and jplanes is not None,
                           t4k=t4k, t8k=t8k, kbits=self.accept_bits)

@@ -29,7 +29,7 @@ import numpy as np
 
 
 def run_case(jax, jnp, *, nrows, ncols, rng, steps, backend="packed",
-             j_prob=None, xsl=None, ysl=None):
+             j_prob=None, xsl=None, ysl=None, split=False):
     from ising_tpu import SimConfig, get_backend, lattice
     from ising_tpu.constants import BLACK, WHITE
     from ising_tpu.models import ising
@@ -42,7 +42,14 @@ def run_case(jax, jnp, *, nrows, ncols, rng, steps, backend="packed",
         be = get_backend(cfg)
         b, w = lattice.init_bits(cfg.seed, cfg.nrows, cfg.ncols)
         jb = jw = None
-        if cfg.j_prob is not None:
+        if cfg.j_prob is not None and split:
+            # the driver path: parity-split link store, in-kernel
+            # projection on capable backends (bit1 single-device)
+            from ising_tpu.driver import build_disorder
+            _, _, (jb, jw) = build_disorder(cfg, be)
+            jb = jax.device_put(jb, device)
+            jw = jax.device_put(jw, device)
+        elif cfg.j_prob is not None:
             v, h = ising.generate_disorder_links(cfg.seed, cfg.nrows,
                                                  cfg.ncols, cfg.j_prob)
             enc = getattr(be, "encode_jplanes", lambda p: p)
@@ -77,7 +84,7 @@ def run_case(jax, jnp, *, nrows, ncols, rng, steps, backend="packed",
     diffs = int((bt != bc).sum() + (wt != wc).sum())
     tag = f"{backend} {nrows}x{ncols} rng={rng}"
     if j_prob is not None:
-        tag += f" J={j_prob}"
+        tag += f" J={j_prob}" + (" split" if split else "")
     if xsl is not None:
         tag += f" repl={xsl}x{ysl}"
     status = "OK " if diffs == 0 else "FAIL"
@@ -122,9 +129,12 @@ def main(argv=None):
             # bit-plane contract modes (in-kernel bit-serial accept)
             dict(nrows=64, ncols=8192, rng="threefry13b"),
             dict(nrows=64, ncols=16384, rng="philox7b"),
-            # bit-sliced J-XOR disorder
+            # bit-sliced J-XOR disorder (classic per-color planes)
             dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3),
             dict(nrows=64, ncols=8192, rng="philox7b", j_prob=0.3),
+            # split-links store with in-kernel projection (driver path)
+            dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3,
+                 split=True),
             # sub-lattice replica wrap (dual lane roll + edge-array rows)
             dict(nrows=64, ncols=8192, rng="philox", xsl=64, ysl=16),
             dict(nrows=64, ncols=8192, rng="threefry13b", xsl=64, ysl=16),

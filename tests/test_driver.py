@@ -354,3 +354,24 @@ def test_bit1_disordered_energy_word_domain(tmp_path):
     lv2, lh2 = sx.links()
     np.testing.assert_array_equal(np.asarray(lv), np.asarray(lv2))
     np.testing.assert_array_equal(np.asarray(lh), np.asarray(lh2))
+
+def test_bit1_split_links_multiblock_matches_xla():
+    """In-kernel link projection with BY < H: the j_up derivation crosses
+    block edges via the vE/vO edge arrays (periodic at row 0)."""
+    import ising_tpu.ops.pallas_dense as pd
+    orig = pd._pick_block_rows
+    pd._pick_block_rows = lambda nrows, target=256: 8
+    try:
+        base = dict(nrows=32, ncols=128, temp=1.4, seed=13, j_prob=0.35)
+        sb = Simulation(SimConfig(backend="bit1", **base))
+        assert sb.backend.split_links  # the driver enabled the split path
+        sx = Simulation(SimConfig(backend="xla", **base))
+        sb.advance(3)
+        sx.advance(3)
+        np.testing.assert_array_equal(np.asarray(sb.bits()[0]),
+                                      np.asarray(sx.bits()[0]))
+        np.testing.assert_array_equal(np.asarray(sb.bits()[1]),
+                                      np.asarray(sx.bits()[1]))
+        assert sb.energy() == sx.energy()
+    finally:
+        pd._pick_block_rows = orig
