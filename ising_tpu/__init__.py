@@ -12,4 +12,4 @@ from .config import SimConfig  # noqa: F401
 from .constants import TCRIT, BLACK, WHITE  # noqa: F401
 from .ops import get_backend, available_backends  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
