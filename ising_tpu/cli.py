@@ -67,13 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="update kernel backend")
     p.add_argument("--rng", default="threefry13",
                    choices=("philox", "philox7", "philox7b", "threefry",
-                            "threefry13", "threefry13b", "hw"),
+                            "threefry13", "threefry13b", "chacha8b", "hw"),
                    help="counter modes (philox[7], threefry[13]) are "
                         "bit-reproducible everywhere; the reduced-round "
                         "variants are the BigCrush-validated minima and "
                         "faster; the ...b variants use the bit-plane "
-                        "contract (16 bits/spin, ~2x faster again; bit1 "
-                        "and xla backends); hw = fastest native, no "
+                        "contract (16 bits/spin, faster again; bit1 and "
+                        "xla backends; chacha8b is the fastest "
+                        "reproducible mode); hw = fastest native, no "
                         "contract")
     p.add_argument("--use-common-seed", action="store_true",
                    help="accepted for basic_python CLI parity; a no-op "

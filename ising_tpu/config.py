@@ -37,12 +37,14 @@ class SimConfig:
     # Philox4x32-10/-7, "threefry" / "threefry13" = Threefry2x32-20/-13
     # (the reduced-round variants are the BigCrush-validated minima of the
     # Random123 paper — see rng.RNG_MODES). The "...b" variants
-    # ("philox7b", "threefry13b") use the bit-plane contract — 16 bits/spin
-    # consumed as plane draws with a bit-serial k-bit compare — ~3x faster,
-    # still fully reproducible, supported by the bit1 and xla backends.
+    # ("philox7b", "threefry13b", "chacha8b") use the bit-plane contract —
+    # 16 bits/spin consumed as plane draws with a bit-serial k-bit
+    # compare — still fully reproducible, supported by the bit1 and xla
+    # backends; "chacha8b" (multiply-free, 4-wide-ILP ChaCha8 generation)
+    # is the fastest reproducible mode (~2x philox7b — PERF.md round 3).
     # "hw" = fastest native generator per backend, no cross-backend
     # contract. Default: the fastest reproducible mode every backend
-    # supports ("philox7b" is the speed pick on bit1/xla).
+    # supports ("chacha8b" is the speed pick on bit1/xla).
     rng: str = "threefry13"
 
     # Iterations (reference -w / -n).

@@ -50,8 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import BLACK
 from ..rng import TAG_SWEEP, parse_rng_mode, plane_bits
 from .pallas_dense import _block_rows_for
-from .pallas_packed import (_hw_draw_block, _philox_draw_block,
-                            _threefry_draw_block)
+from .pallas_packed import (_chacha_draw_block, _hw_draw_block,
+                            _philox_draw_block, _threefry_draw_block)
 
 SPW = 32  # spins per uint32 word
 
@@ -272,6 +272,9 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         elif family == "threefry":
             draws = _threefry_draw_block(params_ref, BY, cols, BY, seed,
                                          tag, blk=i, rounds=rounds)
+        elif family == "chacha":
+            draws = _chacha_draw_block(params_ref, BY, cols, BY, seed,
+                                       tag, blk=i, rounds=rounds)
         elif interp:
             draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
                                        tag | 0x8000, blk=i)

@@ -59,9 +59,11 @@ def _block_rows_for(nrows: int, width_words: int, rng_mode: str) -> int:
     """Block height bounded so kernel intermediates fit scoped VMEM (16 MB).
 
     width_words is the widest per-row intermediate in 32-bit words. The
-    philox path keeps ~7 live unrolled-round arrays (tight cap); the other
-    modes keep ~6 stencil/draw intermediates (looser cap)."""
-    if parse_rng_mode(rng_mode)[0] == "philox":
+    philox path keeps ~7 live unrolled-round arrays and chacha a 16-word
+    state (tight cap — chacha8b was also measured fastest at the tight
+    height); the other modes keep ~6 stencil/draw intermediates (looser
+    cap)."""
+    if parse_rng_mode(rng_mode)[0] in ("philox", "chacha"):
         cap = (1 << 16) // max(1, width_words)
         target = max(8, min(256, cap))
     else:

@@ -73,6 +73,16 @@ TAG_HAMILT = 0x200
 # Half the generator volume of the u32 modes at a 2^-17 probability
 # granularity; trajectories remain bit-identical across backends, device
 # counts and checkpoint/resume, but differ from the u32 modes'.
+#
+# "chacha8b" is the fastest reproducible mode (~2x philox7b, measured —
+# PERF.md round 3): ChaCha with 8 double-round-halves is multiply-free
+# (Philox's 32x32 mulhi costs ~49 emulated vector ops/word on a VPU with
+# no vector mulhi32) AND has four independent quarter-round chains per
+# round (Threefry's single serial add-rot-xor chain is latency-bound).
+# One 16-word ChaCha block is exactly the 16 plane words of one 32-spin
+# word. 8 rounds is the accepted safe reduced-round ChaCha variant (best
+# published attacks reach 7 rounds; crypto strength implies statistical
+# quality far beyond BigCrush).
 RNG_MODES = {
     "philox": ("philox", 10, 0),
     "philox7": ("philox", 7, 0),
@@ -80,6 +90,7 @@ RNG_MODES = {
     "threefry": ("threefry", 20, 0),
     "threefry13": ("threefry", 13, 0),
     "threefry13b": ("threefry", 13, 16),
+    "chacha8b": ("chacha", 8, 16),
     "hw": ("hw", 0, 0),
 }
 
@@ -188,6 +199,81 @@ def threefry2x32(c0, c1, k0, k1, rounds: int = THREEFRY_ROUNDS):
     return x0, x1
 
 
+# ChaCha (Bernstein 2008) state constants: "expand 32-byte k", plus
+# pi-digit pad words (Blowfish P-array) filling the key lanes our 64-bit
+# seed does not cover. Word layout (4x4 state, row-major):
+#   [ C0 C1 C2 C3 | k0 k1 P0 P1 | P2 P3 P4 P5 | c0 c1 step tag ]
+# i.e. the 64-bit spatial counter and the (step, tag) stream live in the
+# standard counter/nonce row, exactly the philox counter discipline.
+CHACHA_C = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
+CHACHA_PAD = (0x243F6A88, 0x85A308D3, 0x13198A2E,
+              0x03707344, 0xA4093822, 0x299F31D0)
+CHACHA_ROUNDS = 8
+
+
+def _chacha_qr(a, b, c, d):
+    """ChaCha quarter round (add-rotate-xor, rotations 16/12/8/7)."""
+    a = a + b
+    d = rotl32(d ^ a, 16)
+    c = c + d
+    b = rotl32(b ^ c, 12)
+    a = a + b
+    d = rotl32(d ^ a, 8)
+    c = c + d
+    b = rotl32(b ^ c, 7)
+    return a, b, c, d
+
+
+def chacha_block(c0, c1, step, tag, k0, k1, rounds: int = CHACHA_ROUNDS):
+    """ChaCha-R block function: 16 uint32 outputs per counter.
+
+    `rounds` counts single rounds (column or diagonal), applied as
+    column/diagonal pairs — rounds=8 is "ChaCha8" in the literature's
+    naming. The final feedforward add of the initial state makes the map
+    non-invertible per the ChaCha design. Inputs broadcast; all ops are
+    32-bit add/xor/rotate, so the same function runs under jit, shard_map
+    and inside Pallas TPU kernels.
+    """
+    u = _u32
+    init = [u(CHACHA_C[0]), u(CHACHA_C[1]), u(CHACHA_C[2]), u(CHACHA_C[3]),
+            u(k0), u(k1),
+            u(CHACHA_PAD[0]), u(CHACHA_PAD[1]), u(CHACHA_PAD[2]),
+            u(CHACHA_PAD[3]), u(CHACHA_PAD[4]), u(CHACHA_PAD[5]),
+            u(c0), u(c1), u(step), u(tag)]
+    x = list(init)
+    for _ in range(rounds // 2):
+        x[0], x[4], x[8], x[12] = _chacha_qr(x[0], x[4], x[8], x[12])
+        x[1], x[5], x[9], x[13] = _chacha_qr(x[1], x[5], x[9], x[13])
+        x[2], x[6], x[10], x[14] = _chacha_qr(x[2], x[6], x[10], x[14])
+        x[3], x[7], x[11], x[15] = _chacha_qr(x[3], x[7], x[11], x[15])
+        x[0], x[5], x[10], x[15] = _chacha_qr(x[0], x[5], x[10], x[15])
+        x[1], x[6], x[11], x[12] = _chacha_qr(x[1], x[6], x[11], x[12])
+        x[2], x[7], x[8], x[13] = _chacha_qr(x[2], x[7], x[8], x[13])
+        x[3], x[4], x[9], x[14] = _chacha_qr(x[3], x[4], x[9], x[14])
+    return [a + b for a, b in zip(x, init)]
+
+
+def chacha_color_draws(seed: int, nrows: int, ncols: int, *, step, tag: int,
+                       row0=0, row_stride: int | None = None,
+                       rounds: int = CHACHA_ROUNDS):
+    """Per-site uint32 draws, chacha contract: one block call covers 16
+    sites — draw(y, col) = output[col // g] of the counter q = y*(stride)
+    + (col mod g), g = cols/16, under the (step, tag) stream words. The
+    16-slot lane-group concat mirrors the philox quad scheme."""
+    if ncols % 16 != 0:
+        raise ValueError("chacha draw width must be a multiple of 16")
+    g = ncols // 16
+    stride = (row_stride if row_stride is not None else ncols) // 16
+    y = jax.lax.broadcasted_iota(jnp.uint32, (nrows, g), 0) + _u32(row0)
+    q = jax.lax.broadcasted_iota(jnp.uint32, (nrows, g), 1)
+    hi, lo = mulhilo32(y, _u32(stride))
+    c0 = lo + q
+    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    k0, k1 = key_from_seed(seed)
+    o = chacha_block(c0, c1, _u32(step), _u32(tag), k0, k1, rounds)
+    return jnp.concatenate(o, axis=-1)
+
+
 def threefry_stream_key(seed: int, step, tag: int):
     """Per-(step, tag) 64-bit key derived with one scalar Threefry call.
 
@@ -279,6 +365,10 @@ def counter_color_draws(mode: str, seed: int, nrows: int, ncols: int, *,
         return threefry_color_draws(seed, nrows, ncols, step=step, tag=tag,
                                     row0=row0, row_stride=row_stride,
                                     rounds=rounds)
+    if family == "chacha":
+        return chacha_color_draws(seed, nrows, ncols, step=step, tag=tag,
+                                  row0=row0, row_stride=row_stride,
+                                  rounds=rounds)
     return hw_draws(seed, nrows, ncols, step=step, tag=tag)
 
 

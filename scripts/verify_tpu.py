@@ -129,6 +129,8 @@ def main(argv=None):
             # bit-plane contract modes (in-kernel bit-serial accept)
             dict(nrows=64, ncols=8192, rng="threefry13b"),
             dict(nrows=64, ncols=16384, rng="philox7b"),
+            dict(nrows=64, ncols=16384, rng="chacha8b"),
+            dict(nrows=64, ncols=8192, rng="chacha8b", j_prob=0.3),
             # bit-sliced J-XOR disorder (classic per-color planes)
             dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3),
             dict(nrows=64, ncols=8192, rng="philox7b", j_prob=0.3),

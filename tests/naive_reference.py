@@ -53,10 +53,47 @@ def threefry2x32_ref(c0, c1, k0, k1, rounds=20):
     return x0, x1
 
 
-RNG_ROUNDS = {"philox": 10, "philox7": 7, "threefry": 20, "threefry13": 13}
+CHACHA_CONST = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
+CHACHA_PAD = (0x243F6A88, 0x85A308D3, 0x13198A2E,
+              0x03707344, 0xA4093822, 0x299F31D0)
+
+_CHACHA_COLS = ((0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15))
+_CHACHA_DIAGS = ((0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14))
+
+
+def chacha_ref(c0, c1, step, tag, k0, k1, rounds=8):
+    """Scalar ChaCha-R block on Python ints: 16 u32 outputs.
+
+    State layout matches rng.chacha_block: constants | (k0, k1, pads) |
+    pads | (c0, c1, step, tag). Rounds alternate column/diagonal patterns;
+    feedforward add of the initial state at the end."""
+    def rotl(v, n):
+        return ((v << n) | (v >> (32 - n))) & MASK
+
+    s = (list(CHACHA_CONST) + [k0 & MASK, k1 & MASK] + list(CHACHA_PAD)
+         + [c0 & MASK, c1 & MASK, step & MASK, tag & MASK])
+    x = s[:]
+    for r in range(rounds):
+        for ia, ib, ic, id_ in (_CHACHA_COLS if r % 2 == 0 else _CHACHA_DIAGS):
+            a, b, c, d = x[ia], x[ib], x[ic], x[id_]
+            a = (a + b) & MASK
+            d = rotl(d ^ a, 16)
+            c = (c + d) & MASK
+            b = rotl(b ^ c, 12)
+            a = (a + b) & MASK
+            d = rotl(d ^ a, 8)
+            c = (c + d) & MASK
+            b = rotl(b ^ c, 7)
+            x[ia], x[ib], x[ic], x[id_] = a, b, c, d
+    return [(xi + si) & MASK for xi, si in zip(x, s)]
+
+
+RNG_ROUNDS = {"philox": 10, "philox7": 7, "threefry": 20, "threefry13": 13,
+              "chacha8": 8}
 
 # Bit-plane-contract modes: (u32-mode equivalent, k bit-planes).
-PLANE_MODES = {"philox7b": ("philox7", 16), "threefry13b": ("threefry13", 16)}
+PLANE_MODES = {"philox7b": ("philox7", 16), "threefry13b": ("threefry13", 16),
+               "chacha8b": ("chacha8", 16)}
 
 
 def site_draw(seed, row, col, width, step, tag, mode="philox"):
@@ -72,6 +109,12 @@ def site_draw(seed, row, col, width, step, tag, mode="philox"):
         ctr = (q & MASK, (q >> 32) & MASK, step & MASK, tag & MASK)
         key = (seed & MASK, (seed >> 32) & MASK)
         return philox4x32_ref(ctr, key, rounds)[col // g]
+    if mode.startswith("chacha"):
+        g = width // 16
+        q = row * g + (col % g)
+        return chacha_ref(q & MASK, (q >> 32) & MASK, step & MASK,
+                          tag & MASK, seed & MASK, (seed >> 32) & MASK,
+                          rounds)[col // g]
     # threefry family: 64-bit pair counter under a per-(step, tag) stream
     # key (derived full-strength, matching rng.threefry_stream_key).
     g = width // 2

@@ -257,7 +257,7 @@ def test_bit1_zero_temperature():
                            SimConfig(backend="bit1", **base), nsteps=5)
 
 
-@pytest.mark.parametrize("rng", ["threefry13b", "philox7b"])
+@pytest.mark.parametrize("rng", ["threefry13b", "philox7b", "chacha8b"])
 def test_bit1_plane_modes_match_xla(rng):
     """Bit-plane contract: bit1's in-kernel bit-serial accept must equal
     xla's unpacked implementation bit for bit."""
@@ -310,7 +310,7 @@ def test_bit1_rejects_unsupported():
                               xsl=8, ysl=8))
 
 
-@pytest.mark.parametrize("rng", ["threefry13", "philox7b"])
+@pytest.mark.parametrize("rng", ["threefry13", "philox7b", "chacha8b"])
 def test_bit1_disorder_matches_xla(rng):
     """bit1's bit-sliced J-XOR must reproduce xla's disorder trajectories
     in both the u32 and bit-plane rng contracts."""

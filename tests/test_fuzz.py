@@ -71,8 +71,8 @@ def bit1_cases(n, master_seed=20260817):
 @pytest.mark.parametrize("kw", bit1_cases(8))
 def test_bit1_matches_xla_random(kw):
     """Random sweep over the bit1 tier incl. the bit-plane rng modes."""
-    rngs = ["philox", "threefry13", "philox7b", "threefry13b"]
-    rng = rngs[kw["seed"] % 4]
+    rngs = ["philox", "threefry13", "philox7b", "threefry13b", "chacha8b"]
+    rng = rngs[kw["seed"] % 5]
     s_x = Simulation(SimConfig(backend="xla", rng=rng, **kw))
     s_b = Simulation(SimConfig(backend="bit1", rng=rng, **kw))
     s_x.advance(3)

@@ -193,9 +193,10 @@ def test_sharded_bit1_matches_single_and_xla():
     np.testing.assert_array_equal(np.asarray(wx), np.asarray(wn))
 
 
-def test_sharded_plane_mode_matches_single_and_xla():
+@pytest.mark.parametrize("rng", ["threefry13b", "chacha8b"])
+def test_sharded_plane_mode_matches_single_and_xla(rng):
     """Bit-plane rng contract is sharding-independent (global-row counters)."""
-    base = dict(nrows=32, ncols=128, temp=1.7, seed=9, rng="threefry13b")
+    base = dict(nrows=32, ncols=128, temp=1.7, seed=9, rng=rng)
     b1, w1 = run(SimConfig(ndev=1, backend="bit1", **base), 3)
     bn, wn = run(SimConfig(ndev=4, backend="bit1", **base), 3)
     bx, wx = run(SimConfig(ndev=8, backend="xla", **base), 3)

@@ -189,3 +189,59 @@ def test_reduced_round_sharding_invariance():
                                                    tag=0, row0=4,
                                                    row_stride=32))
         np.testing.assert_array_equal(shard, full[4:8], err_msg=mode)
+
+
+# ---------------------------------------------------------------------------
+# ChaCha8 (the chacha8b plane mode's generator): same KAT discipline — the
+# vector implementation must match the independent scalar one (matrix/loop
+# form in naive_reference.py) at several round counts, and the draw layout
+# must obey the documented 16-slot contract.
+
+def test_chacha_matches_scalar():
+    from naive_reference import chacha_ref
+    c0 = jnp.arange(16, dtype=jnp.uint32) * 11 + 4
+    c1 = jnp.arange(16, dtype=jnp.uint32) * 5 + 9
+    for rounds in (8, 12, 20):
+        outs = rng.chacha_block(c0, c1, 7, 3, 0xDEADBEEF, 0x12345678, rounds)
+        assert len(outs) == 16
+        for i in range(16):
+            ref = chacha_ref(int(c0[i]), int(c1[i]), 7, 3,
+                             0xDEADBEEF, 0x12345678, rounds)
+            assert [int(o[i]) for o in outs] == ref, (rounds, i)
+
+
+def test_chacha_draws_layout():
+    """Draw for (y, col) must equal output[col // g] of counter y*g + col%g."""
+    from naive_reference import site_draw
+    seed = 463463564571
+    d = np.asarray(rng.chacha_color_draws(seed, 4, 32, step=3, tag=1))
+    for y in range(4):
+        for x in range(32):
+            assert int(d[y, x]) == site_draw(seed, y, x, 32, 3, 1,
+                                             mode="chacha8")
+
+
+def test_chacha_draws_sharding_invariance():
+    full = np.asarray(rng.chacha_color_draws(99, 8, 32, step=5, tag=0))
+    shard = np.asarray(rng.chacha_color_draws(99, 4, 32, step=5, tag=0,
+                                              row0=4, row_stride=32))
+    np.testing.assert_array_equal(shard, full[4:8])
+    got = np.asarray(rng.counter_color_draws("chacha8b", 99, 8, 32,
+                                             step=5, tag=0))
+    np.testing.assert_array_equal(got, full)
+
+
+def test_chacha_stream_separation_and_uniformity():
+    a = np.asarray(rng.chacha_color_draws(1, 8, 16, step=0, tag=0))
+    b = np.asarray(rng.chacha_color_draws(1, 8, 16, step=0, tag=1))
+    c = np.asarray(rng.chacha_color_draws(1, 8, 16, step=1, tag=0))
+    d = np.asarray(rng.chacha_color_draws(2, 8, 16, step=0, tag=0))
+    assert not np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert not np.array_equal(a, d)
+    big = np.asarray(rng.chacha_color_draws(1234, 256, 256, step=0, tag=0))
+    u = big / 2.0 ** 32
+    assert abs(u.mean() - 0.5) < 0.005
+    assert abs(u.var() - 1.0 / 12.0) < 0.001
+    bits = np.unpackbits(big.view(np.uint8))
+    assert abs(bits.mean() - 0.5) < 0.002

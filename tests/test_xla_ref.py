@@ -44,7 +44,7 @@ def test_sweep_matches_naive(shape, rng):
     np.testing.assert_array_equal(got, full)
 
 
-@pytest.mark.parametrize("rng", ["philox7b", "threefry13b"])
+@pytest.mark.parametrize("rng", ["philox7b", "threefry13b", "chacha8b"])
 @pytest.mark.parametrize("shape", [(8, 64), (6, 128)])
 def test_sweep_matches_naive_plane_modes(shape, rng):
     """Bit-plane rng contract (...b modes) against the scalar reference."""
