@@ -103,7 +103,8 @@ def main(argv=None):
                     help="override flagship backend")
     ap.add_argument("--rng", default="hw",
                     choices=("philox", "philox7", "philox7b", "threefry",
-                             "threefry13", "threefry13b", "chacha8b", "hw"))
+                             "threefry13", "threefry13b", "chacha8",
+                             "chacha8b", "hw"))
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--cols", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)

@@ -67,7 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="update kernel backend")
     p.add_argument("--rng", default="threefry13",
                    choices=("philox", "philox7", "philox7b", "threefry",
-                            "threefry13", "threefry13b", "chacha8b", "hw"),
+                            "threefry13", "threefry13b", "chacha8",
+                            "chacha8b", "hw"),
                    help="counter modes (philox[7], threefry[13]) are "
                         "bit-reproducible everywhere; the reduced-round "
                         "variants are the BigCrush-validated minima and "

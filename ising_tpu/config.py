@@ -42,9 +42,12 @@ class SimConfig:
     # compare — still fully reproducible, supported by the bit1 and xla
     # backends; "chacha8b" (multiply-free, 4-wide-ILP ChaCha8 generation)
     # is the fastest reproducible mode (~2x philox7b — PERF.md round 3).
-    # "hw" = fastest native generator per backend, no cross-backend
-    # contract. Default: the fastest reproducible mode every backend
-    # supports ("chacha8b" is the speed pick on bit1/xla).
+    # "chacha8" is the same generator under the u32 contract on ALL five
+    # backends (~2x threefry13; needs ncols % 32). "hw" = fastest native
+    # generator per backend, no cross-backend contract. Default:
+    # threefry13 — reproducible on every backend at ANY even width; pick
+    # "chacha8" (any backend) or "chacha8b" (bit1/xla) for speed at real
+    # lattice sizes.
     rng: str = "threefry13"
 
     # Iterations (reference -w / -n).

@@ -42,8 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import BLACK
 from ..rng import TAG_SWEEP, parse_rng_mode, plane_bits
-from .pallas_dense import (_hw_draws, _philox_draws, _threefry_draws,
-                           unsigned_le)
+from .pallas_dense import (_chacha_draws, _hw_draws, _philox_draws,
+                           _threefry_draws, unsigned_le)
 
 TILE = 128
 
@@ -134,6 +134,8 @@ def _mxu_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag, rounds)
     elif family == "threefry":
         draws = _threefry_draws(params_ref, BY, C, BY, seed, tag, rounds)
+    elif family == "chacha":
+        draws = _chacha_draws(params_ref, BY, C, BY, seed, tag, rounds)
     elif interp:
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag | 0x8000)
     else:

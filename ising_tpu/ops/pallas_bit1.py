@@ -295,6 +295,9 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     if family == "philox":
         draws = _philox_draw_block(params_ref, BY, C, BY, seed, tag,
                                    blk=i, rounds=rounds)
+    elif family == "chacha":
+        draws = _chacha_draw_block(params_ref, BY, C, BY, seed, tag,
+                                   blk=i, rounds=rounds)
     else:
         draws = _threefry_draw_block(params_ref, BY, C, BY, seed, tag,
                                      blk=i, rounds=rounds)
@@ -362,7 +365,9 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
     fam = parse_rng_mode(rng_mode)[0]
     if fam == "hw" or plane_bits(rng_mode):
         width = kbits * W1  # widest intermediate: the bit-plane draw block
-    elif fam == "philox":
+    elif fam in ("philox", "chacha"):
+        # philox: ~7 live unrolled-round quad arrays of width 8*W1;
+        # chacha: 16 live 2*W1-wide state arrays — both ride the tight cap.
         width = 8 * W1
     else:
         width = 16 * W1

@@ -112,6 +112,25 @@ def _threefry_draws(params_ref, rows: int, cols: int, row_block: int,
     return jnp.concatenate([o0, o1], axis=-1)
 
 
+def _chacha_draws(params_ref, rows: int, cols: int, row_block: int,
+                  seed: int, tag: int, rounds: int = 8):
+    """(rows, cols) uint32 draws per rng.chacha_color_draws' contract
+    (16-slot lane-group concat; (c0, c1, step, tag) counter row)."""
+    from ..rng import chacha_block
+    i = pl.program_id(0)
+    row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
+    step = params_ref[1]
+    g = cols // 16
+    y = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 0) + row0
+    q = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 1)
+    hi, lo = mulhilo32(y, jnp.uint32(g))
+    c0 = lo + q
+    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    k0, k1 = key_from_seed(seed)
+    o = chacha_block(c0, c1, step, jnp.uint32(tag), k0, k1, rounds)
+    return jnp.concatenate(o, axis=-1)
+
+
 def _hw_draws(params_ref, rows: int, cols: int, seed: int, tag: int):
     """On-chip PRNG path: seed from (seed, tag, step, block)."""
     i = pl.program_id(0)
@@ -168,6 +187,8 @@ def _sweep_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag, rounds)
     elif family == "threefry":
         draws = _threefry_draws(params_ref, BY, C, BY, seed, tag, rounds)
+    elif family == "chacha":
+        draws = _chacha_draws(params_ref, BY, C, BY, seed, tag, rounds)
     elif interp:
         # CPU interpreter lacks prng_seed; salted Philox substitute.
         draws = _philox_draws(params_ref, BY, C, BY, seed, tag | 0x8000)

@@ -208,6 +208,9 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
     elif family == "threefry":
         draws = _threefry_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
                                      blk=blk, rounds=rounds)
+    elif family == "chacha":
+        draws = _chacha_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
+                                   blk=blk, rounds=rounds)
     elif interp:
         # The CPU interpreter has no prng_seed; substitute a salted Philox
         # stream (hw mode carries no reproducibility contract anyway).

@@ -74,8 +74,9 @@ TAG_HAMILT = 0x200
 # granularity; trajectories remain bit-identical across backends, device
 # counts and checkpoint/resume, but differ from the u32 modes'.
 #
-# "chacha8b" is the fastest reproducible mode (~2x philox7b, measured —
-# PERF.md round 3): ChaCha with 8 double-round-halves is multiply-free
+# "chacha8" (u32-draw contract, every backend) and "chacha8b" (bit-plane
+# contract, the fastest reproducible mode — ~2x philox7b, measured in
+# PERF.md round 3) use the ChaCha generator: 8 rounds is multiply-free
 # (Philox's 32x32 mulhi costs ~49 emulated vector ops/word on a VPU with
 # no vector mulhi32) AND has four independent quarter-round chains per
 # round (Threefry's single serial add-rot-xor chain is latency-bound).
@@ -90,6 +91,7 @@ RNG_MODES = {
     "threefry": ("threefry", 20, 0),
     "threefry13": ("threefry", 13, 0),
     "threefry13b": ("threefry", 13, 16),
+    "chacha8": ("chacha", 8, 0),
     "chacha8b": ("chacha", 8, 16),
     "hw": ("hw", 0, 0),
 }

@@ -126,6 +126,7 @@ def main(argv=None):
             dict(nrows=64, ncols=8192, rng="threefry13"),
             dict(nrows=64, ncols=16384, rng="philox7"),
             dict(nrows=64, ncols=16384, rng="threefry"),
+            dict(nrows=64, ncols=8192, rng="chacha8"),
             # bit-plane contract modes (in-kernel bit-serial accept)
             dict(nrows=64, ncols=8192, rng="threefry13b"),
             dict(nrows=64, ncols=16384, rng="philox7b"),
@@ -149,6 +150,7 @@ def main(argv=None):
             dict(nrows=ny, ncols=2048, rng="threefry13"),
             dict(nrows=ny, ncols=4096, rng="philox7"),
             dict(nrows=ny, ncols=4096, rng="threefry"),
+            dict(nrows=ny, ncols=2048, rng="chacha8"),
         ]
         if args.backend == "packed":
             cases += [

@@ -162,7 +162,8 @@ def test_packed_sublattice_rejects_bad_geometry():
                               xsl=32, ysl=8))  # csl=16 > W=4
 
 
-@pytest.mark.parametrize("rng", ["threefry", "threefry13", "philox7"])
+@pytest.mark.parametrize("rng", ["threefry", "threefry13", "philox7",
+                                 "chacha8"])
 @pytest.mark.parametrize("backend", ["dense", "packed", "mxu"])
 def test_rng_modes_match_xla(backend, rng):
     shape = (128, 256) if backend == "mxu" else (16, 64)
@@ -232,7 +233,8 @@ def test_bit1_matches_xla(shape):
                            SimConfig(backend="bit1", **base))
 
 
-@pytest.mark.parametrize("rng", ["threefry13", "philox7", "philox"])
+@pytest.mark.parametrize("rng", ["threefry13", "philox7", "philox",
+                                 "chacha8"])
 def test_bit1_rng_modes_match_xla(rng):
     base = dict(nrows=16, ncols=128, temp=1.8, seed=515, rng=rng)
     assert_same_trajectory(SimConfig(backend="xla", **base),

@@ -61,6 +61,7 @@ def measure_flip_rates(cfg, nsteps=40):
     # the exact probabilities (quantization bias 2^-17 << binomial noise).
     ("bit1", "threefry13b"),
     ("xla", "philox7b"),
+    ("bit1", "chacha8b"),
 ])
 def test_acceptance_rates_match_exact(backend, rng):
     T = 2.0

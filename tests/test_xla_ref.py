@@ -44,6 +44,23 @@ def test_sweep_matches_naive(shape, rng):
     np.testing.assert_array_equal(got, full)
 
 
+@pytest.mark.parametrize("rng", ["chacha8"])
+@pytest.mark.parametrize("shape", [(8, 32), (6, 64)])
+def test_sweep_matches_naive_chacha_u32(shape, rng):
+    """chacha8 u32-draw contract vs the scalar reference (needs compact
+    width % 16: one ChaCha block covers 16 sites)."""
+    Y, X = shape
+    cfg = SimConfig(nrows=Y, ncols=X, temp=1.8, seed=777, backend="xla",
+                    rng=rng)
+    thr = ising.threshold_table(cfg.temperature)
+    full = naive_init(cfg.seed, Y, X)
+    for step in range(3):
+        full = naive_step(full, thr, cfg.seed, step, mode="chacha8")
+    b, w = run_backend_steps(cfg, 3)
+    got = np.asarray(lattice.compact_to_full(b, w))
+    np.testing.assert_array_equal(got, full)
+
+
 @pytest.mark.parametrize("rng", ["philox7b", "threefry13b", "chacha8b"])
 @pytest.mark.parametrize("shape", [(8, 64), (6, 128)])
 def test_sweep_matches_naive_plane_modes(shape, rng):
