@@ -166,9 +166,10 @@ def main(argv=None):
 
     # Physical sanity cap: per-step lattice traffic is >= 3 x bytes_per_spin
     # (read src + read dst + write dst per color phase) at ~820 GB/s peak
-    # HBM on v5e — a rate above 850/(3*bps) flips/ns is impossible.
+    # HBM on v5e — a rate above 850/(3*bps) flips/ns is impossible PER
+    # CHIP; the aggregate rate of an ndev-chip mesh scales the ceiling.
     bps = getattr(be, "bytes_per_spin", 1.0)
-    rate_cap = 850.0 / (3.0 * bps) if platform != "cpu" else None
+    rate_cap = args.ndev * 850.0 / (3.0 * bps) if platform != "cpu" else None
 
     detail = {"backend": backend, "rng": args.rng, "platform": platform,
               "lattice": f"{nrows}x{ncols}", "steps": steps}

@@ -123,6 +123,12 @@ def read_checkpoint_meta(path: str) -> dict:
     if meta["version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint version {meta['version']}")
     meta["cfg"] = SimConfig.from_json(meta.pop("config"))
+    if (meta["nrows"], meta["ncols"]) != (meta["cfg"].nrows,
+                                          meta["cfg"].ncols):
+        raise ValueError(
+            f"checkpoint {path!r} is inconsistent: stored planes are "
+            f"{meta['nrows']}x{meta['ncols']} but the embedded config says "
+            f"{meta['cfg'].nrows}x{meta['cfg'].ncols} (edited file?)")
     meta["_body_offset"] = len(MAGIC) + 4 + int(hlen)
     return meta
 

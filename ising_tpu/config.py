@@ -107,6 +107,12 @@ class SimConfig:
         if self.rng not in RNG_MODES:
             raise ValueError(f"unknown rng mode {self.rng!r}; "
                              f"one of {sorted(RNG_MODES)}")
+        if self.rng.startswith("chacha") and (self.ncols // 2) % 16:
+            # One ChaCha block yields 16 u32 words; the compact half-row
+            # must consume whole blocks (plane modes additionally require
+            # the backend's own ncols % 64).
+            raise ValueError("chacha rng modes need ncols multiple of 32 "
+                             "(16-word ChaCha blocks per compact half-row)")
         if self.backend == "packed":
             # Compact row must fill whole 8-spin words here; on compiled
             # TPU the backend additionally requires ncols % 2048 == 0

@@ -24,7 +24,6 @@ from .constants import (BLACK, MAX_CORR_LEN, MIN_TEMP,
                         TGT_MAGN_MAX_DIFF, WHITE)
 from . import io as lio
 from . import observables
-from .checkpoint import save_checkpoint
 from .lattice import init_store, links_to_color_planes
 from .models import ising
 from .ops import get_backend
@@ -155,7 +154,7 @@ class Simulation:
                 self.backend.temperature = self.temp
 
         # Quenched disorder (shared by all backends via the link fields).
-        # The device store is bit-packed when ncols % 32 == 0 (format is an
+        # The device store is bit-packed when ncols % 64 == 0 (format is an
         # internal detail); the public accessor is links().
         self._links_store = None
         self._links_packed = False

@@ -231,11 +231,15 @@ def chacha_block(c0, c1, step, tag, k0, k1, rounds: int = CHACHA_ROUNDS):
 
     `rounds` counts single rounds (column or diagonal), applied as
     column/diagonal pairs — rounds=8 is "ChaCha8" in the literature's
-    naming. The final feedforward add of the initial state makes the map
+    naming. Only even counts are supported (an odd count would end on a
+    half pair; the scalar reference applies rounds singly, so silently
+    flooring here would diverge from it). The final feedforward add of the initial state makes the map
     non-invertible per the ChaCha design. Inputs broadcast; all ops are
     32-bit add/xor/rotate, so the same function runs under jit, shard_map
     and inside Pallas TPU kernels.
     """
+    if rounds % 2:
+        raise ValueError(f"chacha rounds must be even, got {rounds}")
     u = _u32
     init = [u(CHACHA_C[0]), u(CHACHA_C[1]), u(CHACHA_C[2]), u(CHACHA_C[3]),
             u(k0), u(k1),

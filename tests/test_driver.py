@@ -319,6 +319,13 @@ def test_checkpoint_truncated_file_rejected(tmp_path):
     open(path, "wb").write(b"NOTACKPT" + blob[8:])
     with pytest.raises(ValueError, match="magic"):
         Simulation.from_checkpoint(path)
+    # Header geometry contradicting the embedded config (same-length edit
+    # so only the consistency check can catch it).
+    mutated = blob.replace(b'"nrows": 16', b'"nrows": 61', 1)
+    assert mutated != blob
+    open(path, "wb").write(mutated)
+    with pytest.raises(ValueError, match="embedded config"):
+        Simulation.from_checkpoint(path)
 
 
 def test_checkpoint_resume_syncs_static_temp_backend(tmp_path):

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ising_tpu import rng
 from naive_reference import philox4x32_ref
@@ -245,3 +246,20 @@ def test_chacha_stream_separation_and_uniformity():
     assert abs(u.var() - 1.0 / 12.0) < 0.001
     bits = np.unpackbits(big.view(np.uint8))
     assert abs(bits.mean() - 0.5) < 0.002
+
+
+def test_chacha_odd_rounds_rejected():
+    # The block function applies column/diagonal PAIRS; an odd count would
+    # silently floor and diverge from the scalar reference's single-round
+    # application.
+    c = jnp.zeros(4, dtype=jnp.uint32)
+    with pytest.raises(ValueError, match="even"):
+        rng.chacha_block(c, c, 0, 0, 1, 2, 7)
+
+
+def test_chacha_width_validated_upfront():
+    from ising_tpu.config import SimConfig
+    with pytest.raises(ValueError, match="multiple of 32"):
+        SimConfig(nrows=8, ncols=40, temp=1.5, backend="xla", rng="chacha8")
+    # ncols % 32 == 0 constructs fine.
+    SimConfig(nrows=8, ncols=64, temp=1.5, backend="xla", rng="chacha8")
