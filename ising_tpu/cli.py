@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-J", "--j-prob", type=float, default=None,
                    help="probability of antiferromagnetic links "
                         "(quenched +-J disorder)")
+    p.add_argument("--j-seed", type=int, default=None,
+                   help="seed for the disorder realization (defaults to "
+                        "-s: fix it to vary only the thermal stream)")
     p.add_argument("--xsl", type=int, default=None,
                    help="X size of independent sub-lattice replicas")
     p.add_argument("--ysl", type=int, default=None,
@@ -104,7 +107,8 @@ def config_from_args(args) -> SimConfig:
         print_freq=args.print_freq,
         print_exp=args.exppr or args.exppr_ref, exp_thinned=args.exppr_ref,
         tgt_magn=args.tgt_magn, temp_step=temp_step, temp_freq=temp_freq,
-        j_prob=args.j_prob, xsl=args.xsl, ysl=args.ysl, ndev=args.devs,
+        j_prob=args.j_prob, j_seed=args.j_seed,
+        xsl=args.xsl, ysl=args.ysl, ndev=args.devs,
         halo_overlap=args.halo_overlap,
         dump_lattice=args.out, corr_out=args.corr)
 

@@ -71,8 +71,12 @@ class SimConfig:
     temp_freq: int = 0
 
     # Quenched +-J disorder: probability of an antiferromagnetic link
-    # (reference -J, optimized/main.cu:1374-1378).
+    # (reference -J, optimized/main.cu:1374-1378). j_seed fixes the
+    # disorder REALIZATION independently of `seed` (defaults to `seed`):
+    # the standard spin-glass ensemble protocol — and parallel tempering —
+    # vary the thermal stream over one frozen set of links.
     j_prob: float | None = None
+    j_seed: int | None = None
 
     # Sub-lattice replica mode: wrap periodically inside xsl x ysl tiles
     # (reference --xsl/--ysl, optimized/main.cu:1423-1463).

@@ -102,16 +102,17 @@ def build_disorder(cfg, backend, chunk_rows: int = 8192):
     split = links_packed and getattr(backend, "split_links_capable", False)
     if split:
         backend.split_links = True
+    jseed = cfg.seed if cfg.j_seed is None else cfg.j_seed
     link_parts, jb_parts, jw_parts = [], [], []
     for r in range(0, Y, R):
         v_s, h_s = ising.generate_disorder_links(
-            cfg.seed, Y, X, cfg.j_prob, row0=r, local_rows=R)
+            jseed, Y, X, cfg.j_prob, row0=r, local_rows=R)
         if not split:
             if R == Y:
                 v_up = None
             else:
                 v_up, _ = ising.generate_disorder_links(
-                    cfg.seed, Y, X, cfg.j_prob, row0=(r - 1) % Y,
+                    jseed, Y, X, cfg.j_prob, row0=(r - 1) % Y,
                     local_rows=1)
             jb_parts.append(tuple(enc(
                 links_to_color_planes(v_s, h_s, BLACK, v_up=v_up))))
@@ -358,12 +359,12 @@ class Simulation:
         return self.backend.decode(_rows_wrap(self.black, r, n),
                                    _rows_wrap(self.white, r, n))
 
-    def energy(self) -> float:
-        """Internal energy per spin. Word-domain fast path on bit1 (both
-        ordered and disordered — the parity-split packed link store feeds
-        the word XORs directly); otherwise streamed from storage per row
-        slab (a full-lattice decode plus resident disorder links does not
-        fit at 65536^2-per-chip)."""
+    def energy_total(self) -> int:
+        """Exact integer bond sum Σ_bonds J_ij s_i s_j over the current
+        state (the Hamiltonian is H = -energy_total(); spins ±1, J ±1).
+        int32/uint32 row partials on device, int64 finish on host — no
+        float anywhere, so parallel-tempering swap decisions can compare
+        exactly."""
         if self._links_store is None and hasattr(self.backend, "energy_rows"):
             rows = self.backend.energy_rows(self.black, self.white)
         elif (self._links_store is not None and self._links_packed
@@ -375,8 +376,15 @@ class Simulation:
                 self._decode_rows, self.cfg.nrows,
                 links_rows=self._links_slab if self._links_store is not None
                 else None)
-        total = np.asarray(jax.device_get(rows), np.int64).sum()
-        return -float(total) / self.cfg.nspins
+        return int(np.asarray(jax.device_get(rows), np.int64).sum())
+
+    def energy(self) -> float:
+        """Internal energy per spin. Word-domain fast path on bit1 (both
+        ordered and disordered — the parity-split packed link store feeds
+        the word XORs directly); otherwise streamed from storage per row
+        slab (a full-lattice decode plus resident disorder links does not
+        fit at 65536^2-per-chip)."""
+        return -float(self.energy_total()) / self.cfg.nspins
 
     def _append_corr(self, it: int):
         if self.cfg.xsl is None and hasattr(self.backend, "corr_rows"):

@@ -37,6 +37,13 @@ def test_giant_lattice_tiny():
     assert "|m| =" in out and "E/N =" in out
 
 
+def test_spin_glass_pt_tiny():
+    out = _run_path("examples/spin_glass_pt.py",
+                    ["--size", "16", "--rungs", "3", "--rounds", "4",
+                     "--sweeps", "2"])
+    assert "pair acceptance:" in out and "cold rung" in out
+
+
 def test_bench_disorder_cpu():
     import json
     import bench

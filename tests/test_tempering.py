@@ -1,0 +1,186 @@
+"""Parallel tempering: scalar swap RNG, exchange wiring, reproducibility.
+
+The swap path is verified against independent reimplementations: the
+scalar Philox against the KAT'd naive reference, and the recorded swap
+decisions against a from-scratch replay using float math + the same
+draws. Cross-backend equality rides the library's bit-identical
+trajectory contract."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ising_tpu.config import SimConfig
+from ising_tpu.driver import Simulation
+from ising_tpu.tempering import (ParallelTempering, philox4x32_scalar,
+                                 swap_threshold_u32)
+from naive_reference import philox4x32_ref
+
+
+def test_scalar_philox_matches_kat_reference():
+    for ctr, key in [((0, 0, 0, 0), (0, 0)),
+                     ((1, 2, 3, 4), (5, 6)),
+                     ((0xFFFFFFFF,) * 4, (0xFFFFFFFF,) * 2),
+                     ((123456789, 987654321, 192837465, 564738291),
+                      (0xCAFEBABE, 0xDEADBEEF))]:
+        assert list(philox4x32_scalar(ctr, key)) == \
+            list(philox4x32_ref(ctr, key)), (ctr, key)
+
+
+def test_swap_threshold_endpoints_and_monotonicity():
+    # Non-negative argument: certain accept (threshold 2^32 > any u32).
+    assert swap_threshold_u32(0.0, 12345) == 1 << 32
+    assert swap_threshold_u32(0.5, 100) == 1 << 32
+    assert swap_threshold_u32(-0.5, -100) == 1 << 32
+    # Negative argument: floor(exp(arg) * 2^32), strictly below certain.
+    t = swap_threshold_u32(-0.25, 8)
+    assert t == int(math.exp(-2.0) * (1 << 32)) and t < 1 << 32
+    # More negative => smaller threshold.
+    assert swap_threshold_u32(-0.25, 80) < t
+    # Deeply negative: never accepts.
+    assert swap_threshold_u32(-2.0, 10 ** 4) == 0
+
+
+def _base_cfg(**kw):
+    kw.setdefault("nrows", 16)
+    kw.setdefault("ncols", 32)
+    kw.setdefault("seed", 99)
+    return SimConfig(temp=1.0, **kw)
+
+
+def test_equal_temperatures_always_swap():
+    pt = ParallelTempering(_base_cfg(), [1.5, 1.5, 1.5], sweeps_per_swap=1)
+    for _ in range(4):
+        pt.advance_round()
+    assert pt.accepts == pt.attempts
+    # DEO: even rounds propose pair 0, odd rounds pair 1 (K=3).
+    assert pt.attempts == [2, 2]
+
+
+def test_deo_pairing_and_permutation_tracking():
+    pt = ParallelTempering(_base_cfg(), [1.2, 1.2], sweeps_per_swap=1)
+    pt.advance_round()  # round 0: pair 0 proposed, equal temps => accepted
+    assert pt.replica_at == [1, 0]
+    pt.advance_round()  # round 1 (odd): no pair for K=2 => unchanged
+    assert pt.replica_at == [1, 0]
+    pt.advance_round()
+    assert pt.replica_at == [0, 1]
+
+
+def test_swap_decisions_match_independent_replay():
+    """Replay every proposal from scratch (reference philox + float exp)
+    and demand the identical accept/reject record."""
+    cfg = SimConfig(nrows=8, ncols=16, temp=1.0, seed=7)
+    temps = [1.9, 2.0, 2.1]  # close rungs on a tiny lattice: accepts occur
+    pt = ParallelTempering(cfg, temps, sweeps_per_swap=2)
+
+    record = []  # (round, pair, H_i, H_j, accepted)
+    orig = ParallelTempering.swap_phase
+
+    def tracing_swap(self):
+        H = [-s.energy_total() for s in self.sims]
+        before = list(self.replica_at)
+        orig(self)
+        for i in range((self.round - 1) % 2, len(self.sims) - 1, 2):
+            record.append((self.round - 1, i, H[i], H[i + 1],
+                           self.replica_at[i] != before[i]
+                           or self.replica_at[i + 1] != before[i + 1]
+                           # equal-entry swap is invisible in replica_at
+                           # only if i and i+1 held the same id: impossible
+                           ))
+    ParallelTempering.swap_phase = tracing_swap
+    try:
+        for _ in range(12):
+            pt.advance_round()
+    finally:
+        ParallelTempering.swap_phase = orig
+
+    assert len(record) == 12  # K=3: one pair per round under DEO
+    betas = [1.0 / t for t in temps]
+    for rnd, i, hi, hj, accepted in record:
+        u = philox4x32_ref((rnd, 0, i, 0x5EAB),
+                           (pt.swap_seed & 0xFFFFFFFF,
+                            (pt.swap_seed >> 32) & 0xFFFFFFFF))[0]
+        arg = (betas[i] - betas[i + 1]) * (hi - hj)
+        expect = arg >= 0 or u < int(math.exp(arg) * (1 << 32))
+        assert accepted == expect, (rnd, i, arg)
+    # Sanity: the record must exercise both outcomes somewhere... accept
+    # at least once (equal-ish rungs swap often); rejects depend on the
+    # realization, so only assert the accept side.
+    assert any(r[4] for r in record)
+
+
+def test_cross_backend_trajectories_identical():
+    """PT on xla and packed backends: swap decisions ride exact integer
+    energies + a backend-independent scalar stream, so entire PT runs are
+    bit-identical across backends."""
+    temps = [1.2, 1.9]
+    fin = {}
+    for backend in ("xla", "packed"):
+        pt = ParallelTempering(_base_cfg(backend=backend), temps,
+                               sweeps_per_swap=2)
+        for _ in range(4):
+            pt.advance_round()
+        fin[backend] = ([np.asarray(s.bits()[0]) for s in pt.sims],
+                        pt.accepts, pt.replica_at)
+    for a, b in zip(fin["xla"][0], fin["packed"][0]):
+        np.testing.assert_array_equal(a, b)
+    assert fin["xla"][1:] == fin["packed"][1:]
+
+
+def test_disorder_shared_across_replicas():
+    cfg = _base_cfg(j_prob=0.4)
+    pt = ParallelTempering(cfg, [1.1, 1.7], sweeps_per_swap=1)
+    l0, l1 = pt.sims[0].links(), pt.sims[1].links()
+    np.testing.assert_array_equal(np.asarray(l0[0]), np.asarray(l1[0]))
+    np.testing.assert_array_equal(np.asarray(l0[1]), np.asarray(l1[1]))
+    # ...but the thermal streams differ: distinct trajectories at equal T.
+    pt2 = ParallelTempering(cfg, [1.1, 1.1], sweeps_per_swap=3)
+    pt2.sims[0].advance(3)
+    pt2.sims[1].advance(3)
+    assert not np.array_equal(np.asarray(pt2.sims[0].bits()[0]),
+                              np.asarray(pt2.sims[1].bits()[0]))
+
+
+def test_j_seed_fixes_realization():
+    a = Simulation(SimConfig(nrows=8, ncols=16, temp=1.5, seed=3,
+                             j_prob=0.5, j_seed=77))
+    b = Simulation(SimConfig(nrows=8, ncols=16, temp=1.5, seed=4,
+                             j_prob=0.5, j_seed=77))
+    c = Simulation(SimConfig(nrows=8, ncols=16, temp=1.5, seed=3,
+                             j_prob=0.5, j_seed=78))
+    np.testing.assert_array_equal(np.asarray(a.links()[0]),
+                                  np.asarray(b.links()[0]))
+    assert not np.array_equal(np.asarray(a.links()[0]),
+                              np.asarray(c.links()[0]))
+    # j_seed defaults to seed: unchanged behavior for existing configs.
+    d = Simulation(SimConfig(nrows=8, ncols=16, temp=1.5, seed=3,
+                             j_prob=0.5))
+    e = Simulation(SimConfig(nrows=8, ncols=16, temp=1.5, seed=3,
+                             j_prob=0.5, j_seed=3))
+    np.testing.assert_array_equal(np.asarray(d.links()[0]),
+                                  np.asarray(e.links()[0]))
+
+
+def test_validation():
+    cfg = _base_cfg()
+    with pytest.raises(ValueError, match="at least 2"):
+        ParallelTempering(cfg, [1.5])
+    with pytest.raises(ValueError, match="> 0"):
+        ParallelTempering(cfg, [0.0, 1.5])
+    with pytest.raises(ValueError, match="one replica seed"):
+        ParallelTempering(cfg, [1.0, 2.0], replica_seeds=[1])
+    with pytest.raises(ValueError, match="sweeps_per_swap"):
+        ParallelTempering(cfg, [1.0, 2.0], sweeps_per_swap=0)
+
+
+def test_measure_and_stats_shapes():
+    pt = ParallelTempering(_base_cfg(), [1.0, 2.0], sweeps_per_swap=1)
+    pt.advance_round()
+    ms = pt.measure()
+    assert [m["temp"] for m in ms] == [1.0, 2.0]
+    assert all("magnetization" in m and "energy" in m for m in ms)
+    st = pt.stats()
+    assert st["round"] == 1 and len(st["pair_acceptance"]) == 1
+    assert sorted(st["replica_at"]) == [0, 1]
