@@ -365,18 +365,23 @@ class Simulation:
         int32/uint32 row partials on device, int64 finish on host — no
         float anywhere, so parallel-tempering swap decisions can compare
         exactly."""
+        return int(np.asarray(jax.device_get(self._energy_rows()),
+                              np.int64).sum())
+
+    def _energy_rows(self):
+        """Device-side int row partials of the bond sum (no transfer —
+        callers can batch the device_get; parallel tempering fetches all
+        rungs' rows in ONE round trip through the tunnel)."""
         if self._links_store is None and hasattr(self.backend, "energy_rows"):
-            rows = self.backend.energy_rows(self.black, self.white)
-        elif (self._links_store is not None and self._links_packed
-              and hasattr(self.backend, "energy_rows_disordered")):
-            rows = self.backend.energy_rows_disordered(
+            return self.backend.energy_rows(self.black, self.white)
+        if (self._links_store is not None and self._links_packed
+                and hasattr(self.backend, "energy_rows_disordered")):
+            return self.backend.energy_rows_disordered(
                 self.black, self.white, self._links_store)
-        else:
-            rows = observables.energy_rows_via(
-                self._decode_rows, self.cfg.nrows,
-                links_rows=self._links_slab if self._links_store is not None
-                else None)
-        return int(np.asarray(jax.device_get(rows), np.int64).sum())
+        return observables.energy_rows_via(
+            self._decode_rows, self.cfg.nrows,
+            links_rows=self._links_slab if self._links_store is not None
+            else None)
 
     def energy(self) -> float:
         """Internal energy per spin. Word-domain fast path on bit1 (both

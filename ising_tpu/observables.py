@@ -83,6 +83,20 @@ def _energy_block(e_ext, o_ext, vh=None, hh=None):
     return jnp.int32(2 * ncols) - 2 * anti.astype(jnp.int32)
 
 
+@jax.jit
+def _energy_slab(black_ext, white_ext, vh=None, hh=None):
+    """Parity extraction + bond sums as ONE compiled program per slab.
+
+    The eager composition is ~18 separate dispatches; on a remote-TPU
+    tunnel each dispatch pays a round trip, which made parallel
+    tempering's per-rung energy the wall (measured ~15 s/round at K=32 —
+    one jitted call per rung brings it to ~1 s). Same slab granularity,
+    same memory bounds; XLA additionally fuses the XORs into the row
+    reduction."""
+    e_ext, o_ext = _col_parity_planes(black_ext, white_ext)
+    return _energy_block(e_ext, o_ext, vh, hh)
+
+
 def energy_row_sums(black, white, v=None, h=None, row_chunk: int = 8192):
     """Per-row exact bond-energy sums, int32: sum_x (J_r s s_right + J_d s s_down).
 
@@ -214,7 +228,8 @@ def correlation_row_sums(black, white, corr_len: int = MAX_CORR_LEN,
     for r in range(0, Y, R):
         e_ext, o_ext = _col_parity_planes(black[r:r + R], white[r:r + R])
         parts.append(_corr_block(e_ext, o_ext, corr_len, csl, ytile))
-        _fence(parts[-1])
+        if R < Y:
+            _fence(parts[-1])
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
@@ -272,10 +287,11 @@ def energy_rows_via(decode_rows, nrows: int, links_rows=None,
         R -= 2
     parts = []
     for r in range(0, Y, R):
-        e_ext, o_ext = _col_parity_planes(*decode_rows(r, R + 1))
+        b_ext, w_ext = decode_rows(r, R + 1)
         vs, hs = (None, None) if links_rows is None else links_rows(r, R)
-        parts.append(_energy_block(e_ext, o_ext, vs, hs))
-        _fence(parts[-1])
+        parts.append(_energy_slab(b_ext, w_ext, vs, hs))
+        if R < Y:
+            _fence(parts[-1])
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
@@ -293,7 +309,8 @@ def correlation_rows_via(decode_rows, nrows: int,
         e_ext, o_ext = _col_parity_planes(*decode_rows(r, R + corr_len))
         parts.append(_corr_block(e_ext, o_ext, corr_len,
                                  e_ext.shape[1], None))
-        _fence(parts[-1])
+        if R < Y:
+            _fence(parts[-1])
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
@@ -391,7 +408,8 @@ def bit1_energy_row_sums(black_w, white_w, links_words=None,
             vE, vO, hE, hO = (p[r:r + R] for p in links_words)
             parts.append(_bit1_energy_block_dis(e_ext, o_ext, vE, vO,
                                                 hE, hO))
-        _fence(parts[-1])
+        if R < Y:
+            _fence(parts[-1])
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
@@ -431,7 +449,8 @@ def bit1_correlation_row_sums(black_w, white_w,
             _rows_wrap(black_w, r, R + corr_len),
             _rows_wrap(white_w, r, R + corr_len))
         parts.append(_bit1_corr_block(e_ext, o_ext, corr_len))
-        _fence(parts[-1])
+        if R < Y:
+            _fence(parts[-1])
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
@@ -462,7 +481,7 @@ def word_row_up_counts(black_w, white_w, field_mask: int = 0xFFFFFFFF,
         parts.append(_popcount_up_block(black_w[r:r + row_chunk],
                                         white_w[r:r + row_chunk],
                                         field_mask))
-        _fence(parts[-1])
+        _fence(parts[-1])  # loop only runs when Y > row_chunk: always chunked
     return jnp.concatenate(parts)
 
 

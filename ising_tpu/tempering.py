@@ -29,6 +29,15 @@ Design notes (TPU + library discipline):
 - Pairing alternates even rounds (0-1, 2-3, ...) and odd rounds
   (1-2, 3-4, ...): the deterministic-even-odd (DEO) schedule, which
   mixes better than random pairing and needs no extra randomness.
+- Rungs step sequentially (K dispatches per round, energies fetched in
+  one batched device_get). On a locally-attached chip dispatch is ~10 us
+  and the chip is time-shared efficiently; through the remote-tunnel dev
+  environment each dispatch pays the tunnel round trip, which dominates
+  small-lattice ladders. A fully-batched stepper (vmap over a stacked
+  rung axis) would cut that to one dispatch per round but needs traced
+  RNG seeds through every backend's kernel signature (today they are
+  static key constants); revisit if PT becomes a hot production path
+  rather than an auxiliary workflow.
 """
 
 from __future__ import annotations
@@ -123,8 +132,13 @@ class ParallelTempering:
 
     def swap_phase(self):
         """One DEO phase of adjacent-pair exchange proposals."""
-        # Physical energies: H = -bondsum (exact ints).
-        H = [-s.energy_total() for s in self.sims]
+        import jax
+        import numpy as np
+        # Physical energies H = -bondsum (exact ints), every rung's row
+        # partials fetched in ONE device_get (the per-rung fetch cost is
+        # round-trip latency, not bytes, on the remote-TPU tunnel).
+        rows = jax.device_get([s._energy_rows() for s in self.sims])
+        H = [-int(np.asarray(r, np.int64).sum()) for r in rows]
         for i in range(self.round % 2, len(self.sims) - 1, 2):
             j = i + 1
             self.attempts[i] += 1
