@@ -92,10 +92,11 @@ def save_checkpoint_streamed(path: str, decode_rows, nrows: int, ncols: int,
         f.write(header)
         for r0, r1 in schedule:
             b, w = decode_rows(r0, r1)
-            if b.shape != (r1 - r0, ch):
-                raise ValueError(
-                    f"decode_rows({r0},{r1}) returned shape {b.shape}, "
-                    f"expected {(r1 - r0, ch)}")
+            for name, p in (("black", b), ("white", w)):
+                if p.shape != (r1 - r0, ch):
+                    raise ValueError(
+                        f"decode_rows({r0},{r1}) returned {name} plane of "
+                        f"shape {p.shape}, expected {(r1 - r0, ch)}")
             f.write(_pack_rows(b).tobytes())
             f.write(_pack_rows(w).tobytes())
 
@@ -115,6 +116,14 @@ def read_checkpoint_meta(path: str) -> dict:
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
+            if magic[:4] == b"PK\x03\x04":
+                # The v1 (pre-0.3) format was an .npz archive; no migration
+                # path is kept (v1 shipped in no tagged release), but the
+                # error should say what the file is rather than "bad magic".
+                raise ValueError(
+                    f"{path!r} is a v1 (.npz) checkpoint; the v1 format is "
+                    "no longer supported — re-save it from a 0.2.x tree "
+                    "or regenerate the run")
             raise ValueError(
                 f"{path!r} is not an ising-tpu v{FORMAT_VERSION} checkpoint "
                 f"(bad magic {magic!r})")

@@ -153,12 +153,12 @@ def main(argv=None) -> int:
         print(f"Wrote profiler trace to {args.profile}")
 
     if cfg.dump_lattice:
-        from . import io as lio
+        # Scale-safe path (streamed above Simulation.STREAM_DUMP_SPINS,
+        # per-shard when sharded): the final dump must never materialize
+        # full decoded planes on the host (ref: optimized/main.cu:1180
+        # never gathers more than one GPU's slab either).
         name = f"final_{cfg.nrows}x{cfg.ncols}.txt"
-        if cfg.ndev > 1:
-            lio.dump_lattice_sharded(name, *sim.bits(), fmt="hex")
-        else:
-            lio.dump_lattice(name, *sim.bits(), fmt="hex")
+        sim.dump(name)
         print(f"Wrote final lattice to {name}")
     if args.checkpoint:
         sim.checkpoint(args.checkpoint)

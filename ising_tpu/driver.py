@@ -411,17 +411,21 @@ class Simulation:
                 f.write(f" {val:< 12G}")
             f.write("\n")
 
-    def _dump(self, it: int):
-        name = (f"lattice_{self.cfg.nrows}x{self.cfg.ncols}"
-                f"_T_{self.temp:f}_IT_{it:08d}.txt")
+    # Lattices at or above this spin count stream their dumps row-chunk by
+    # row-chunk instead of materializing the decoded planes on the host
+    # (34 GB at the 524288x65536 flagship shape). Class attribute so tests
+    # can lower it to assert the streamed path engages.
+    STREAM_DUMP_SPINS = 1 << 30
+
+    def dump(self, name: str):
+        """Write the lattice to `name` (hex format), scale-safely: one file
+        per shard when sharded (like the reference's per-GPU files,
+        optimized/main.cu:1180 — no whole-lattice host gather), row-streamed
+        above STREAM_DUMP_SPINS spins (same file bytes), plain otherwise."""
         if self.cfg.ndev > 1:
-            # One file per row-slab shard, like the reference's per-GPU
-            # files (optimized/main.cu:1180) — no whole-lattice host gather.
             b, w = self.bits()
             lio.dump_lattice_sharded(name, b, w, fmt="hex")
-        elif self.cfg.nrows * self.cfg.ncols >= (1 << 30):
-            # Giant single-device lattice: stream row chunks (one chunk of
-            # decoded bits on the host at a time, same file bytes).
+        elif self.cfg.nspins >= self.STREAM_DUMP_SPINS:
             be = self.backend
             lio.dump_lattice_streamed(
                 name, lambda r0, r1: be.decode(self.black[r0:r1],
@@ -429,6 +433,10 @@ class Simulation:
                 self.cfg.nrows)
         else:
             lio.dump_lattice(name, *self.bits(), fmt="hex")
+
+    def _dump(self, it: int):
+        self.dump(f"lattice_{self.cfg.nrows}x{self.cfg.ncols}"
+                  f"_T_{self.temp:f}_IT_{it:08d}.txt")
 
     def checkpoint(self, path: str):
         """Streamed save: decodes one row chunk at a time, so host memory

@@ -268,6 +268,10 @@ def chacha_color_draws(seed: int, nrows: int, ncols: int, *, step, tag: int,
     16-slot lane-group concat mirrors the philox quad scheme."""
     if ncols % 16 != 0:
         raise ValueError("chacha draw width must be a multiple of 16")
+    if row_stride is not None and row_stride % 16 != 0:
+        # A non-multiple stride would silently floor, giving overlapping
+        # counters (duplicate draws) across rows.
+        raise ValueError("chacha row_stride must be a multiple of 16")
     g = ncols // 16
     stride = (row_stride if row_stride is not None else ncols) // 16
     y = jax.lax.broadcasted_iota(jnp.uint32, (nrows, g), 0) + _u32(row0)

@@ -168,6 +168,31 @@ def test_checkpoint_resume_packed(tmp_path):
                                   np.asarray(s3.bits()[0]))
 
 
+def test_checkpoint_resume_across_device_counts(tmp_path):
+    """Save at ndev=1, resume at ndev=8 (and the reverse): bit-identical
+    continuation. The elasticity story the counter-RNG design promises
+    (draws are functions of GLOBAL row indices, so the sharding layout is
+    free to change at resume time); the reference cannot reload at all
+    (optimized/utils.c:97-107, Fread unused)."""
+    base = dict(nrows=32, ncols=32, temp=1.8, seed=11, niters=10)
+    for nd_save, nd_resume in ((1, 8), (8, 1), (8, 4)):
+        s1 = Simulation(SimConfig(ndev=nd_save, **base))
+        s1.advance(10)
+        s2 = Simulation(SimConfig(ndev=nd_save, **base))
+        s2.advance(5)
+        path = str(tmp_path / f"ck_{nd_save}to{nd_resume}.bin")
+        s2.checkpoint(path)
+        s3 = Simulation.from_checkpoint(path, ndev=nd_resume)
+        assert s3.cfg.ndev == nd_resume and s3.step == 5
+        s3.advance(5)
+        np.testing.assert_array_equal(
+            np.asarray(s1.bits()[0]), np.asarray(s3.bits()[0]),
+            err_msg=f"black diverged resuming ndev={nd_save}->{nd_resume}")
+        np.testing.assert_array_equal(
+            np.asarray(s1.bits()[1]), np.asarray(s3.bits()[1]),
+            err_msg=f"white diverged resuming ndev={nd_save}->{nd_resume}")
+
+
 def test_checkpoint_resume_across_backends(tmp_path):
     """A checkpoint written by one backend resumes exactly on another."""
     import dataclasses

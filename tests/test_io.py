@@ -150,6 +150,47 @@ def test_driver_dump_sharded(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(b2), np.asarray(sim.bits()[0]))
 
 
+def test_cli_final_dump_streams_above_threshold(tmp_path, monkeypatch,
+                                                capsys):
+    """The CLI -o final dump goes through Simulation.dump's scale-safe
+    routing: with the stream threshold lowered, the streamed writer engages
+    (no full decoded planes on the host) and the file bytes are identical
+    to the plain dump."""
+    from ising_tpu.cli import main
+    from ising_tpu.driver import Simulation
+
+    monkeypatch.chdir(tmp_path)
+    calls = []
+    orig = lio.dump_lattice_streamed
+
+    def spy(*a, **kw):
+        calls.append(a[0])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(Simulation, "STREAM_DUMP_SPINS", 1)
+    monkeypatch.setattr(lio, "dump_lattice_streamed", spy)
+    assert main(["-x", "16", "-y", "16", "-n", "2", "-t", "1.5", "-o"]) == 0
+    assert calls, "final dump did not take the streamed path"
+    streamed = open(tmp_path / "final_16x16.txt", "rb").read()
+    # same run without the lowered threshold: plain dump, same bytes
+    monkeypatch.setattr(Simulation, "STREAM_DUMP_SPINS", 1 << 30)
+    assert main(["-x", "16", "-y", "16", "-n", "2", "-t", "1.5", "-o"]) == 0
+    assert len(calls) == 1  # plain path this time
+    assert open(tmp_path / "final_16x16.txt", "rb").read() == streamed
+
+
+def test_cli_final_dump_sharded(tmp_path, monkeypatch, capsys):
+    """ndev > 1 final dumps write per-shard files (never a host gather)."""
+    from ising_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    assert main(["-x", "16", "-y", "16", "-n", "1", "-t", "1.5", "-o",
+                 "-d", "8"]) == 0
+    shard_files = sorted(tmp_path.glob("final_16x16_shard*.txt"))
+    assert len(shard_files) == 8
+    b, w = lio.load_lattice_sharded(str(tmp_path / "final_16x16.txt"))
+    assert np.asarray(b).shape == (16, 8)
+
+
 def test_dump_streamed_matches_one_shot(tmp_path):
     """Row-streamed dump writes byte-identical files to dump_lattice."""
     from ising_tpu import SimConfig, get_backend, lattice
