@@ -185,18 +185,20 @@ class Simulation:
         self.black, self.white = b, w
         self._thr = jnp.asarray(ising.threshold_table(self.temp))
 
-    def _links_slab(self, r: int, n: int):
-        """(v, h) uint8 link rows [r, r+n) (unpacking + re-interleaving the
-        parity-split packed store)."""
+    def _links_slab_of(self, store, r: int, n: int):
+        """(v, h) uint8 link rows [r, r+n) of the given store (unpacking +
+        re-interleaving when parity-split packed)."""
         if self._links_packed:
             from .ops.pallas_bit1 import unpack_bits1
-            vE, vO, hE, hO = (unpack_bits1(p[r:r + n])
-                              for p in self._links_store)
+            vE, vO, hE, hO = (unpack_bits1(p[r:r + n]) for p in store)
             inter = lambda a, b: jnp.stack([a, b], axis=2).reshape(
                 a.shape[0], 2 * a.shape[1])
             return inter(vE, vO), inter(hE, hO)
-        v, h = self._links_store
+        v, h = store
         return v[r:r + n], h[r:r + n]
+
+    def _links_slab(self, r: int, n: int):
+        return self._links_slab_of(self._links_store, r, n)
 
     def links(self):
         """(v, h) full uint8 disorder link planes, or None without -J.
@@ -368,20 +370,46 @@ class Simulation:
         return int(np.asarray(jax.device_get(self._energy_rows()),
                               np.int64).sum())
 
+    def _energy_rows_for(self, black, white, links=None,
+                         row_chunk: int = 8192):
+        """Device int row partials of the bond sum for GIVEN planes.
+
+        A pure function of its array inputs: the disorder links can be
+        passed explicitly instead of read from self, so parallel tempering
+        can inline this into one jitted round with the (shared) links as a
+        jit ARGUMENT — closure-captured device arrays become literal
+        constants at lowering (see parallel/sharded.py). With
+        row_chunk >= nrows it is single-slab (no host fence), i.e. fully
+        traceable."""
+        if links is None:
+            links = self._links_store
+        if self._links_store is None and hasattr(self.backend, "energy_rows"):
+            return self.backend.energy_rows(black, white)
+        if (self._links_store is not None and self._links_packed
+                and hasattr(self.backend, "energy_rows_disordered")):
+            return self.backend.energy_rows_disordered(black, white, links)
+        decode = lambda r, n: self.backend.decode(
+            observables._rows_wrap(black, r, n),
+            observables._rows_wrap(white, r, n))
+        links_rows = None
+        if self._links_store is not None:
+            links_rows = lambda r, n: self._links_slab_of(links, r, n)
+        return observables.energy_rows_via(decode, self.cfg.nrows,
+                                           links_rows=links_rows,
+                                           row_chunk=row_chunk)
+
     def _energy_rows(self):
         """Device-side int row partials of the bond sum (no transfer —
         callers can batch the device_get; parallel tempering fetches all
         rungs' rows in ONE round trip through the tunnel)."""
-        if self._links_store is None and hasattr(self.backend, "energy_rows"):
-            return self.backend.energy_rows(self.black, self.white)
-        if (self._links_store is not None and self._links_packed
-                and hasattr(self.backend, "energy_rows_disordered")):
-            return self.backend.energy_rows_disordered(
-                self.black, self.white, self._links_store)
-        return observables.energy_rows_via(
-            self._decode_rows, self.cfg.nrows,
-            links_rows=self._links_slab if self._links_store is not None
-            else None)
+        return self._energy_rows_for(self.black, self.white)
+
+    def _up_rows_for(self, black, white):
+        """Device per-row up-spin counts for GIVEN planes (pure, no
+        transfer) — the batchable core of measure()."""
+        if hasattr(self.backend, "row_up_counts"):
+            return self.backend.row_up_counts(black, white)
+        return observables.row_up_counts(*self.backend.decode(black, white))
 
     def energy(self) -> float:
         """Internal energy per spin. Word-domain fast path on bit1 (both

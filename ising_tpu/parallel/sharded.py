@@ -166,4 +166,12 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
     def step_n(black, white, thr10, step0, n):
         return _step_n(black, white, thr10, step0, n, jb, jw)
 
+    # Composition hooks: the UNJITTED loop plus the disorder-plane
+    # arguments it needs, so callers can inline this stepper into a larger
+    # jitted program (parallel tempering unrolls K rungs' loops into ONE
+    # dispatch per swap round — see tempering.py). raw has the same
+    # signature as the jitted core: (b, w, thr10, step0, n, jb, jw).
+    step_n.raw = inner
+    step_n.jargs = (jb, jw)
+
     return shardings, step_n

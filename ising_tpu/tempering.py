@@ -29,15 +29,19 @@ Design notes (TPU + library discipline):
 - Pairing alternates even rounds (0-1, 2-3, ...) and odd rounds
   (1-2, 3-4, ...): the deterministic-even-odd (DEO) schedule, which
   mixes better than random pairing and needs no extra randomness.
-- Rungs step sequentially (K dispatches per round, energies fetched in
-  one batched device_get). On a locally-attached chip dispatch is ~10 us
-  and the chip is time-shared efficiently; through the remote-tunnel dev
-  environment each dispatch pays the tunnel round trip, which dominates
-  small-lattice ladders. A fully-batched stepper (vmap over a stacked
-  rung axis) would cut that to one dispatch per round but needs traced
-  RNG seeds through every backend's kernel signature (today they are
-  static key constants); revisit if PT becomes a hot production path
-  rather than an auxiliary workflow.
+- The whole swap round is DEVICE-RESIDENT (default `batched=True`): all
+  K rungs' sweep loops, energy row partials, and magnetization row
+  counts are unrolled into ONE jitted round function — one dispatch plus
+  one device_get per round, instead of K dispatches + K fetches (the
+  tunnel round trip is the documented wall for small-lattice ladders).
+  Unrolling (rather than vmap) is deliberate: every backend bakes its
+  RNG seed in as a static kernel constant, so K rungs with K seeds are K
+  kernel variants either way, and unrolling keeps each rung's traced
+  expression IDENTICAL to its solo `Simulation.advance` — trajectories
+  and swap records are bit-equal to the sequential path by construction
+  (`batched=False` keeps that path available; tests compare the two).
+  The shared disorder links ride as jit arguments, never closure
+  captures (see parallel/sharded.py on the literal-constant trap).
 """
 
 from __future__ import annotations
@@ -93,7 +97,8 @@ class ParallelTempering:
     """
 
     def __init__(self, cfg: SimConfig, temps, *, sweeps_per_swap: int = 8,
-                 replica_seeds=None, swap_seed: int | None = None):
+                 replica_seeds=None, swap_seed: int | None = None,
+                 batched: bool = True):
         temps = [float(t) for t in temps]
         if len(temps) < 2:
             raise ValueError("parallel tempering needs at least 2 rungs")
@@ -122,6 +127,9 @@ class ParallelTempering:
         self.round = 0
         self.attempts = [0] * (len(temps) - 1)
         self.accepts = [0] * (len(temps) - 1)
+        self.batched = bool(batched)
+        self._round_fn = None   # built lazily on the first batched round
+        self._cache = None      # last batched round's (H, up-counts)
 
     def _swap_draw(self, pair: int) -> int:
         """One u32 for this (round, pair) proposal — its own counter
@@ -130,15 +138,10 @@ class ParallelTempering:
             (self.round & _M32, (self.round >> 32) & _M32, pair, 0x5EAB),
             (self.swap_seed & _M32, (self.swap_seed >> 32) & _M32))[0]
 
-    def swap_phase(self):
-        """One DEO phase of adjacent-pair exchange proposals."""
-        import jax
-        import numpy as np
-        # Physical energies H = -bondsum (exact ints), every rung's row
-        # partials fetched in ONE device_get (the per-rung fetch cost is
-        # round-trip latency, not bytes, on the remote-TPU tunnel).
-        rows = jax.device_get([s._energy_rows() for s in self.sims])
-        H = [-int(np.asarray(r, np.int64).sum()) for r in rows]
+    def _do_swaps(self, H, *extras):
+        """DEO adjacent-pair proposals given the rung Hamiltonians H
+        (exact ints). Swaps rebind array handles only (zero device work);
+        any `extras` lists (per-rung cached values) are permuted along."""
         for i in range(self.round % 2, len(self.sims) - 1, 2):
             j = i + 1
             self.attempts[i] += 1
@@ -149,16 +152,84 @@ class ParallelTempering:
                 si, sj = self.sims[i], self.sims[j]
                 si.black, sj.black = sj.black, si.black
                 si.white, sj.white = sj.white, si.white
-                H[i], H[j] = H[j], H[i]
-                self.replica_at[i], self.replica_at[j] = \
-                    self.replica_at[j], self.replica_at[i]
+                for lst in (H, self.replica_at, *extras):
+                    lst[i], lst[j] = lst[j], lst[i]
         self.round += 1
 
+    def swap_phase(self):
+        """One DEO phase of adjacent-pair exchange proposals."""
+        import jax
+        import numpy as np
+        # Physical energies H = -bondsum (exact ints), every rung's row
+        # partials fetched in ONE device_get (the per-rung fetch cost is
+        # round-trip latency, not bytes, on the remote-TPU tunnel).
+        rows = jax.device_get([s._energy_rows() for s in self.sims])
+        self._do_swaps([-int(np.asarray(r, np.int64).sum()) for r in rows])
+
+    def _build_round_fn(self):
+        """One jitted function for the WHOLE swap round: every rung's
+        sweep loop + energy rows + magnetization rows, unrolled. Each
+        rung's sub-expression is exactly what its solo stepper traces
+        (same `raw` loop, same thr/step operands), so trajectories are
+        bit-identical to the sequential path. First call compiles a
+        K-times-larger program (repeat temps/seeds hit the kernel cache)."""
+        import jax
+        from functools import partial
+        sims = self.sims
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def round_fn(blacks, whites, thrs, step0, n, jbs, jws, links):
+            out = []
+            for i, s in enumerate(sims):
+                b, w = s._step_n.raw(blacks[i], whites[i], thrs[i],
+                                     step0, n, jbs[i], jws[i])
+                er = s._energy_rows_for(b, w, links=links[i],
+                                        row_chunk=s.cfg.nrows)
+                out.append((b, w, er, s._up_rows_for(b, w)))
+            bs, ws, ers, urs = zip(*out)
+            return bs, ws, ers, urs
+
+        return round_fn
+
+    def _advance_round_batched(self):
+        import jax
+        import numpy as np
+        if self._round_fn is None:
+            self._round_fn = self._build_round_fn()
+        import jax.numpy as jnp
+        step0 = self.sims[0].step
+        assert all(s.step == step0 for s in self.sims), \
+            "rungs advanced out of lockstep"
+        bs, ws, ers, urs = self._round_fn(
+            tuple(s.black for s in self.sims),
+            tuple(s.white for s in self.sims),
+            tuple(s._thr for s in self.sims),
+            jnp.uint32(step0), self.sweeps_per_swap,
+            tuple(s._step_n.jargs[0] for s in self.sims),
+            tuple(s._step_n.jargs[1] for s in self.sims),
+            tuple(s._links_store for s in self.sims))
+        for s, b, w in zip(self.sims, bs, ws):
+            s.black, s.white = b, w
+            s.step = step0 + self.sweeps_per_swap
+        ers, urs = jax.device_get((ers, urs))  # the round's ONE fetch
+        H = [-int(np.asarray(r, np.int64).sum()) for r in ers]
+        ups = [int(np.asarray(u, np.int64).sum()) for u in urs]
+        self._do_swaps(H, ups)
+        self._cache = {"step": self.sims[0].step, "round": self.round,
+                       "H": H, "ups": ups}
+
     def advance_round(self):
-        """sweeps_per_swap sweeps on every rung, then one swap phase."""
-        for s in self.sims:
-            s.advance(self.sweeps_per_swap)
-        self.swap_phase()
+        """sweeps_per_swap sweeps on every rung, then one swap phase.
+
+        batched=True: one dispatch + one device fetch for the whole round;
+        batched=False: per-rung dispatches (the pre-round-4 path, kept as
+        the independently-traced comparison baseline)."""
+        if self.batched:
+            self._advance_round_batched()
+        else:
+            for s in self.sims:
+                s.advance(self.sweeps_per_swap)
+            self.swap_phase()
 
     def run(self, nrounds: int):
         for _ in range(nrounds):
@@ -173,11 +244,29 @@ class ParallelTempering:
                 "replica_at": list(self.replica_at)}
 
     def measure(self):
-        """Per-rung observables: temp + magnetization + energy/spin."""
+        """Per-rung observables: temp + magnetization + energy/spin.
+
+        Free after a batched round (the round function already returned
+        every rung's row partials — values are served from that round's
+        fetch, post-swap order); otherwise all rungs' partials are fetched
+        in ONE device_get rather than 2K sequential round trips."""
+        c = self._cache
+        if c is not None and c["round"] == self.round and \
+                c["step"] == self.sims[0].step:
+            H, ups = c["H"], c["ups"]
+        else:
+            import jax
+            import numpy as np
+            urs, ers = jax.device_get(
+                ([s._up_rows_for(s.black, s.white) for s in self.sims],
+                 [s._energy_rows() for s in self.sims]))
+            ups = [int(np.asarray(u, np.int64).sum()) for u in urs]
+            H = [-int(np.asarray(r, np.int64).sum()) for r in ers]
         out = []
-        for t, s in zip(self.temps, self.sims):
-            m = s.measure()
-            m["temp"] = t
-            m["energy"] = s.energy()
-            out.append(m)
+        for t, s, u, h in zip(self.temps, self.sims, ups, H):
+            n = s.cfg.nspins
+            out.append({"step": s.step,
+                        "magnetization": abs(2 * u - n) / n,
+                        "up": u, "down": n - u, "temp": t,
+                        "energy": h / n})
         return out

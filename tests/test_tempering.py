@@ -68,33 +68,35 @@ def test_deo_pairing_and_permutation_tracking():
     assert pt.replica_at == [0, 1]
 
 
-def test_swap_decisions_match_independent_replay():
+@pytest.mark.parametrize("batched", [True, False])
+def test_swap_decisions_match_independent_replay(batched):
     """Replay every proposal from scratch (reference philox + float exp)
-    and demand the identical accept/reject record."""
+    and demand the identical accept/reject record — on both the batched
+    (one-dispatch) and the sequential round path."""
     cfg = SimConfig(nrows=8, ncols=16, temp=1.0, seed=7)
     temps = [1.9, 2.0, 2.1]  # close rungs on a tiny lattice: accepts occur
-    pt = ParallelTempering(cfg, temps, sweeps_per_swap=2)
+    pt = ParallelTempering(cfg, temps, sweeps_per_swap=2, batched=batched)
 
     record = []  # (round, pair, H_i, H_j, accepted)
-    orig = ParallelTempering.swap_phase
+    orig = ParallelTempering._do_swaps
 
-    def tracing_swap(self):
-        H = [-s.energy_total() for s in self.sims]
+    def tracing_swaps(self, H, *extras):
+        H0 = list(H)
         before = list(self.replica_at)
-        orig(self)
+        orig(self, H, *extras)
         for i in range((self.round - 1) % 2, len(self.sims) - 1, 2):
-            record.append((self.round - 1, i, H[i], H[i + 1],
+            record.append((self.round - 1, i, H0[i], H0[i + 1],
                            self.replica_at[i] != before[i]
                            or self.replica_at[i + 1] != before[i + 1]
                            # equal-entry swap is invisible in replica_at
                            # only if i and i+1 held the same id: impossible
                            ))
-    ParallelTempering.swap_phase = tracing_swap
+    ParallelTempering._do_swaps = tracing_swaps
     try:
         for _ in range(12):
             pt.advance_round()
     finally:
-        ParallelTempering.swap_phase = orig
+        ParallelTempering._do_swaps = orig
 
     assert len(record) == 12  # K=3: one pair per round under DEO
     betas = [1.0 / t for t in temps]
@@ -109,6 +111,53 @@ def test_swap_decisions_match_independent_replay():
     # at least once (equal-ish rungs swap often); rejects depend on the
     # realization, so only assert the accept side.
     assert any(r[4] for r in record)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(backend="xla"),
+    dict(backend="packed"),
+    dict(backend="bit1", ncols=64),
+    dict(backend="xla", j_prob=0.4),
+    dict(backend="packed", rng="chacha8"),
+    dict(backend="xla", rng="threefry13b", ncols=64),
+])
+def test_batched_round_matches_sequential(kw):
+    """The device-resident round (one dispatch, one fetch) is bit-identical
+    to the per-rung sequential path: trajectories, swap records, replica
+    permutation, and measure() values — across backends, rng contracts
+    (incl. a static-threshold bit-plane mode), and quenched disorder."""
+    temps = [1.6, 1.9, 2.2, 2.6]
+    runs = {}
+    for batched in (True, False):
+        pt = ParallelTempering(_base_cfg(**kw), temps, sweeps_per_swap=2,
+                               batched=batched)
+        for _ in range(5):
+            pt.advance_round()
+        runs[batched] = ([np.asarray(s.bits()[0]) for s in pt.sims],
+                         [np.asarray(s.bits()[1]) for s in pt.sims],
+                         pt.accepts, pt.attempts, pt.replica_at,
+                         pt.measure())
+    for a, b in zip(runs[True][0], runs[False][0]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(runs[True][1], runs[False][1]):
+        np.testing.assert_array_equal(a, b)
+    assert runs[True][2:5] == runs[False][2:5]
+    for ma, mb in zip(runs[True][5], runs[False][5]):
+        assert ma == mb, (ma, mb)
+
+
+def test_batched_measure_cache_tracks_swaps():
+    """measure() right after a batched round serves the cached (already
+    fetched) values — they must equal a fresh fetch, i.e. be permuted by
+    the swaps that closed the round."""
+    pt = ParallelTempering(_base_cfg(), [1.5, 1.7, 1.9], sweeps_per_swap=1)
+    for _ in range(3):
+        pt.advance_round()
+    cached = pt.measure()
+    assert pt._cache is not None
+    pt._cache = None  # force the fetch path on the same state
+    fresh = pt.measure()
+    assert cached == fresh
 
 
 def test_cross_backend_trajectories_identical():
