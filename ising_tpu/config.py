@@ -41,13 +41,18 @@ class SimConfig:
     # 16 bits/spin consumed as plane draws with a bit-serial k-bit
     # compare — still fully reproducible, supported by the bit1 and xla
     # backends; "chacha8b" (multiply-free, 4-wide-ILP ChaCha8 generation)
-    # is the fastest reproducible mode (~2x philox7b — PERF.md round 3).
-    # "chacha8" is the same generator under the u32 contract on ALL five
-    # backends (~2x threefry13; needs ncols % 32). "hw" = fastest native
-    # generator per backend, no cross-backend contract. Default:
-    # threefry13 — reproducible on every backend at ANY even width; pick
-    # "chacha8" (any backend) or "chacha8b" (bit1/xla) for speed at real
-    # lattice sizes.
+    # is the fastest crypto-grade reproducible mode (~2x philox7b —
+    # PERF.md round 3). "chacha8" is the same generator under the u32
+    # contract on ALL five backends (~2x threefry13; needs ncols % 32).
+    # "chacha6[b]" / "chacha4[b]" are the statistically-qualified
+    # reduced-round speed tiers (multi-GiB consumption-layout battery,
+    # docs/rng_battery/ — see rng.RNG_MODES): chacha6b is the recommended
+    # fast tier (one double-round of safety margin), chacha4b the
+    # minimum-passing maximum-speed tier. "hw" = fastest native generator
+    # per backend, no cross-backend contract. Default: threefry13 —
+    # reproducible on every backend at ANY even width; pick "chacha8"
+    # (any backend) or "chacha6b" (bit1/xla) for speed at real lattice
+    # sizes.
     rng: str = "threefry13"
 
     # Iterations (reference -w / -n).

@@ -15,6 +15,8 @@
 #include <cstring>
 #include <vector>
 
+#include "chacha.h"
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -129,6 +131,35 @@ void ising_philox_plane(uint64_t seed, uint32_t step, uint32_t tag,
       uint32_t o[4];
       ising_philox4x32(ctr, key, 10, o);
       for (int s = 0; s < 4; ++s) out[y * cols + s * g + j] = o[s];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// ChaCha-R (independent scalar twin; see chacha.h). Block + bulk-plane entry
+// points mirroring the library's chacha draw contract
+// (rng.py chacha_color_draws): one block covers 16 lane-group slots,
+// draw(y, col) = out[col / g] of counter q = y*g + (col mod g), g = cols/16.
+
+void ising_chacha_block(uint32_t c0, uint32_t c1, uint32_t step, uint32_t tag,
+                        uint32_t k0, uint32_t k1, int rounds,
+                        uint32_t out[16]) {
+  ising_chacha::block(c0, c1, step, tag, k0, k1, rounds, out);
+}
+
+void ising_chacha_plane(uint64_t seed, uint32_t step, uint32_t tag,
+                        int64_t row0, int64_t nrows, int64_t cols, int rounds,
+                        uint32_t* out) {
+  const int64_t g = cols / 16;
+  const uint32_t k0 = (uint32_t)(seed & 0xFFFFFFFFu);
+  const uint32_t k1 = (uint32_t)(seed >> 32);
+  for (int64_t y = 0; y < nrows; ++y) {
+    for (int64_t j = 0; j < g; ++j) {
+      uint64_t q = (uint64_t)(row0 + y) * (uint64_t)g + (uint64_t)j;
+      uint32_t o[16];
+      ising_chacha::block((uint32_t)(q & 0xFFFFFFFFu), (uint32_t)(q >> 32),
+                          step, tag, k0, k1, rounds, o);
+      for (int s = 0; s < 16; ++s) out[y * cols + s * g + j] = o[s];
     }
   }
 }

@@ -65,6 +65,14 @@ _lib.ising_philox_plane.argtypes = [ctypes.c_uint64, ctypes.c_uint32,
                                     ctypes.c_uint32, ctypes.c_int64,
                                     ctypes.c_int64, ctypes.c_int64,
                                     ctypes.c_void_p]
+_lib.ising_chacha_block.restype = None
+_lib.ising_chacha_block.argtypes = [ctypes.c_uint32] * 6 + [
+    ctypes.c_int, ctypes.POINTER(ctypes.c_uint32)]
+_lib.ising_chacha_plane.restype = None
+_lib.ising_chacha_plane.argtypes = [ctypes.c_uint64, ctypes.c_uint32,
+                                    ctypes.c_uint32, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_void_p]
 
 
 def write_hex(path: str, bits: np.ndarray) -> None:
@@ -104,4 +112,25 @@ def philox_plane(seed: int, step: int, tag: int, row0: int, nrows: int,
     out = np.empty((nrows, cols), np.uint32)
     _lib.ising_philox_plane(seed & 0xFFFFFFFFFFFFFFFF, step, tag, row0,
                             nrows, cols, out.ctypes.data)
+    return out
+
+
+def chacha_block(c0: int, c1: int, step: int, tag: int, key: tuple,
+                 rounds: int = 8):
+    """One scalar ChaCha-R block (independent C++ twin, for KATs)."""
+    o = (ctypes.c_uint32 * 16)()
+    _lib.ising_chacha_block(c0 & 0xFFFFFFFF, c1 & 0xFFFFFFFF,
+                            step & 0xFFFFFFFF, tag & 0xFFFFFFFF,
+                            key[0] & 0xFFFFFFFF, key[1] & 0xFFFFFFFF,
+                            rounds, o)
+    return tuple(o)
+
+
+def chacha_plane(seed: int, step: int, tag: int, row0: int, nrows: int,
+                 cols: int, rounds: int = 8) -> np.ndarray:
+    """Bulk draws with the library's chacha 16-slot lane-group contract
+    (the exact stream native/rngtest.cpp qualifies)."""
+    out = np.empty((nrows, cols), np.uint32)
+    _lib.ising_chacha_plane(seed & 0xFFFFFFFFFFFFFFFF, step, tag, row0,
+                            nrows, cols, rounds, out.ctypes.data)
     return out

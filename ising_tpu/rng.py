@@ -84,6 +84,17 @@ TAG_HAMILT = 0x200
 # word. 8 rounds is the accepted safe reduced-round ChaCha variant (best
 # published attacks reach 7 rounds; crypto strength implies statistical
 # quality far beyond BigCrush).
+# The reduced-round ChaCha tiers ("chacha6[b]", "chacha4[b]") are
+# STATISTICALLY QUALIFIED, not cryptographic: the committed battery
+# (native/rngtest.cpp via scripts/rng_battery.py, logs in
+# docs/rng_battery/) tests multi-GiB streams in the exact consumption
+# layout — assembled per-spin k-bit uniforms AND raw plane words — and
+# chacha4/6/8 pass everything while chacha2 fails 9/10 tests at p ~ 0
+# (the battery's teeth). chacha4b is therefore the minimum-passing speed
+# tier, chacha6b the qualified-with-margin recommendation (one double-
+# round of headroom, the Salmon-et-al. discipline), chacha8b the
+# conservative default among the chacha modes (best published ChaCha
+# attacks reach 7 rounds, so 8 is crypto-grade).
 RNG_MODES = {
     "philox": ("philox", 10, 0),
     "philox7": ("philox", 7, 0),
@@ -93,6 +104,10 @@ RNG_MODES = {
     "threefry13b": ("threefry", 13, 16),
     "chacha8": ("chacha", 8, 0),
     "chacha8b": ("chacha", 8, 16),
+    "chacha6": ("chacha", 6, 0),
+    "chacha6b": ("chacha", 6, 16),
+    "chacha4": ("chacha", 4, 0),
+    "chacha4b": ("chacha", 4, 16),
     "hw": ("hw", 0, 0),
 }
 

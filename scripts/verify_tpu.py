@@ -132,6 +132,9 @@ def main(argv=None):
             dict(nrows=64, ncols=16384, rng="philox7b"),
             dict(nrows=64, ncols=16384, rng="chacha8b"),
             dict(nrows=64, ncols=8192, rng="chacha8b", j_prob=0.3),
+            # qualified reduced-round tiers (docs/rng_battery/)
+            dict(nrows=64, ncols=8192, rng="chacha6b"),
+            dict(nrows=64, ncols=16384, rng="chacha4b"),
             # bit-sliced J-XOR disorder (classic per-color planes)
             dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3),
             dict(nrows=64, ncols=8192, rng="philox7b", j_prob=0.3),

@@ -163,7 +163,7 @@ def test_packed_sublattice_rejects_bad_geometry():
 
 
 @pytest.mark.parametrize("rng", ["threefry", "threefry13", "philox7",
-                                 "chacha8"])
+                                 "chacha8", "chacha6", "chacha4"])
 @pytest.mark.parametrize("backend", ["dense", "packed", "mxu"])
 def test_rng_modes_match_xla(backend, rng):
     shape = (128, 256) if backend == "mxu" else (16, 64)
@@ -234,7 +234,7 @@ def test_bit1_matches_xla(shape):
 
 
 @pytest.mark.parametrize("rng", ["threefry13", "philox7", "philox",
-                                 "chacha8"])
+                                 "chacha8", "chacha6", "chacha4"])
 def test_bit1_rng_modes_match_xla(rng):
     base = dict(nrows=16, ncols=128, temp=1.8, seed=515, rng=rng)
     assert_same_trajectory(SimConfig(backend="xla", **base),
@@ -259,7 +259,8 @@ def test_bit1_zero_temperature():
                            SimConfig(backend="bit1", **base), nsteps=5)
 
 
-@pytest.mark.parametrize("rng", ["threefry13b", "philox7b", "chacha8b"])
+@pytest.mark.parametrize("rng", ["threefry13b", "philox7b", "chacha8b",
+                                 "chacha6b", "chacha4b"])
 def test_bit1_plane_modes_match_xla(rng):
     """Bit-plane contract: bit1's in-kernel bit-serial accept must equal
     xla's unpacked implementation bit for bit."""

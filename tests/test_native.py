@@ -36,6 +36,36 @@ def test_native_plane_matches_color_draws():
     np.testing.assert_array_equal(jx[4:], cpp_slice)
 
 
+@pytest.mark.parametrize("rounds", [2, 4, 6, 8])
+def test_native_chacha_matches_python_and_jax(rounds):
+    """The C++ scalar twin (which generates the battery's qualification
+    streams, native/rngtest.cpp) matches both the independent Python
+    scalar and the JAX vector implementation for every reduced-round
+    variant the battery qualifies."""
+    from naive_reference import chacha_ref
+    for ctr, key in [((0, 0), (0, 0)), ((1, 2), (5, 6)),
+                     ((0xFFFFFFFF, 0xFFFFFFFF), (0xDEADBEEF, 0x12345678))]:
+        cpp = native.chacha_block(ctr[0], ctr[1], 7, 3, key, rounds)
+        py = tuple(chacha_ref(ctr[0], ctr[1], 7, 3, key[0], key[1], rounds))
+        jx = tuple(int(v) for v in rng.chacha_block(
+            ctr[0], ctr[1], 7, 3, key[0], key[1], rounds))
+        assert cpp == py == jx, (ctr, key, rounds)
+
+
+@pytest.mark.parametrize("rounds", [4, 6, 8])
+def test_native_chacha_plane_matches_color_draws(rounds):
+    """The bulk plane generator feeds the battery the EXACT stream the
+    library consumes: cross-check against chacha_color_draws, full plane
+    and sharded row slice."""
+    seed, step, tag = 463463564571, 7, 1
+    jx = np.asarray(rng.chacha_color_draws(seed, 8, 64, step=step, tag=tag,
+                                           rounds=rounds))
+    cpp = native.chacha_plane(seed, step, tag, 0, 8, 64, rounds)
+    np.testing.assert_array_equal(jx, cpp)
+    cpp_slice = native.chacha_plane(seed, step, tag, 4, 4, 64, rounds)
+    np.testing.assert_array_equal(jx[4:], cpp_slice)
+
+
 def test_native_hex_round_trip(tmp_path):
     rs = np.random.RandomState(1)
     bits = rs.randint(0, 2, size=(16, 64)).astype(np.uint8)

@@ -202,7 +202,7 @@ def test_chacha_matches_scalar():
     from naive_reference import chacha_ref
     c0 = jnp.arange(16, dtype=jnp.uint32) * 11 + 4
     c1 = jnp.arange(16, dtype=jnp.uint32) * 5 + 9
-    for rounds in (8, 12, 20):
+    for rounds in (4, 6, 8, 12, 20):
         outs = rng.chacha_block(c0, c1, 7, 3, 0xDEADBEEF, 0x12345678, rounds)
         assert len(outs) == 16
         for i in range(16):
