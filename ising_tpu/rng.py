@@ -394,16 +394,22 @@ def counter_color_draws(mode: str, seed: int, nrows: int, ncols: int, *,
         return chacha_color_draws(seed, nrows, ncols, step=step, tag=tag,
                                   row0=row0, row_stride=row_stride,
                                   rounds=rounds)
-    return hw_draws(seed, nrows, ncols, step=step, tag=tag)
+    return hw_draws(seed, nrows, ncols, step=step, tag=tag, row0=row0)
 
 
-def hw_draws(seed: int, nrows: int, ncols: int, *, step, tag: int):
+def hw_draws(seed: int, nrows: int, ncols: int, *, step, tag: int, row0=0):
     """Fast, non-portable draw path using JAX's built-in PRNG.
 
     Used by rng mode "hw" where cross-backend/cross-sharding bit-exactness is
     not required (e.g. pure throughput benchmarking of the XLA backend). The
     Pallas backends use the on-chip PRNG (pltpu.prng_random_bits) in this mode.
+
+    row0 (the shard's global row offset, possibly traced) is folded into the
+    key so sharded runs draw DISTINCT streams per slab — the xla analog of the
+    Pallas hw seeding's `params_ref[0] + i` term (pallas_packed._hw_draw_block);
+    without it every slab of a sharded xla/hw run consumed identical draws.
     """
     key = jax.random.key((seed ^ (tag * 0x9E3779B9)) & 0x7FFFFFFF)
     key = jax.random.fold_in(key, step)
+    key = jax.random.fold_in(key, row0)
     return jax.random.bits(key, (nrows, ncols), dtype=jnp.uint32)

@@ -263,3 +263,14 @@ def test_chacha_width_validated_upfront():
         SimConfig(nrows=8, ncols=40, temp=1.5, backend="xla", rng="chacha8")
     # ncols % 32 == 0 constructs fine.
     SimConfig(nrows=8, ncols=64, temp=1.5, backend="xla", rng="chacha8")
+
+
+def test_hw_draws_distinct_per_row_offset():
+    # Sharded runs pass each slab's global row0; the hw stream must differ
+    # per slab (the xla analog of the Pallas hw seeding's row-block term) —
+    # identical streams would correlate every slab's accept decisions.
+    a = np.asarray(rng.counter_color_draws("hw", 123, 8, 32, step=0, tag=0,
+                                           row0=0))
+    b = np.asarray(rng.counter_color_draws("hw", 123, 8, 32, step=0, tag=0,
+                                           row0=8))
+    assert not np.array_equal(a, b)
