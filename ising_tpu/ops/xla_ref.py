@@ -57,6 +57,7 @@ def select_threshold(dst_bits, nsum, thr10):
 
 def neighbor_bit_sum(src, *, color: int, H: int,
                      src_up=None, src_dn=None,
+                     src_left=None, src_right=None,
                      row_idx_up=None, row_idx_dn=None,
                      col_idx_left=None, col_idx_right=None,
                      jplanes=None):
@@ -64,6 +65,9 @@ def neighbor_bit_sum(src, *, color: int, H: int,
 
     src_up/src_dn: (1, C) halo rows above/below this slab; for a single
         unsharded lattice pass src[-1:] and src[:1].
+    src_left/src_right: optional (H, 1) halo COLUMNS beside this block
+        (2-D block decomposition, parallel/block2d.py); when absent the
+        horizontal wrap is the local periodic roll.
     row/col index maps: optional static gathers replacing the periodic wrap
         (sub-lattice replica mode). When row maps are given, halos are unused.
     jplanes: optional (j_up, j_dn, j_same, j_off) uint8 antiferro flags for
@@ -81,6 +85,9 @@ def neighbor_bit_sum(src, *, color: int, H: int,
     if col_idx_left is not None:
         left = jnp.take(src, col_idx_left, axis=1)
         right = jnp.take(src, col_idx_right, axis=1)
+    elif src_left is not None:
+        left = jnp.concatenate([src_left, src[:, :-1]], axis=1)
+        right = jnp.concatenate([src[:, 1:], src_right], axis=1)
     else:
         left = jnp.roll(src, 1, axis=1)
         right = jnp.roll(src, -1, axis=1)
