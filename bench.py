@@ -104,7 +104,8 @@ def main(argv=None):
     ap.add_argument("--rng", default="hw",
                     choices=("philox", "philox7", "philox7b", "threefry",
                              "threefry13", "threefry13b", "chacha8",
-                             "chacha8b", "hw"))
+                             "chacha8b", "chacha6", "chacha6b", "chacha4",
+                             "chacha4b", "hw"))
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--cols", type=int, default=None)
     ap.add_argument("--steps", type=int, default=None)

@@ -67,15 +67,23 @@ def _unpack_rows_device(packed_np, ch: int):
 
 def save_checkpoint_streamed(path: str, decode_rows, nrows: int, ncols: int,
                              *, step: int, temp: float, cfg: SimConfig,
-                             chunk_rows: int = 8192) -> None:
+                             chunk_rows: int = 8192,
+                             packed_rows=None) -> None:
     """Stream a checkpoint to disk, one row chunk at a time.
 
     decode_rows(r0, r1) -> (black, white) compact uint8 bit planes for rows
     [r0, r1) — typically a chunked backend decode of the device state, so
     neither the full decoded planes nor the full packed file body ever
     materialize on the host.
+
+    packed_rows(r0, r1) -> (pb, pw) ALREADY-PACKED byte planes in
+    np.packbits order (device or host) — the storage-domain fast path for
+    backends whose storage is 1 bit/spin (bit1 writes its words straight
+    through a word-domain shuffle; same file bytes, no decode round trip).
+    When given it replaces decode_rows entirely.
     """
     ch = ncols // 2
+    row_bytes = (ch + 7) // 8
     schedule, c = _chunk_schedule(nrows, chunk_rows)
     header = json.dumps({
         "version": FORMAT_VERSION,
@@ -91,6 +99,18 @@ def save_checkpoint_streamed(path: str, decode_rows, nrows: int, ncols: int,
         f.write(np.uint32(len(header)).tobytes())
         f.write(header)
         for r0, r1 in schedule:
+            if packed_rows is not None:
+                pb, pw = packed_rows(r0, r1)
+                pb, pw = np.asarray(pb), np.asarray(pw)
+                for name, p in (("black", pb), ("white", pw)):
+                    if p.shape != (r1 - r0, row_bytes):
+                        raise ValueError(
+                            f"packed_rows({r0},{r1}) returned {name} bytes "
+                            f"of shape {p.shape}, expected "
+                            f"{(r1 - r0, row_bytes)}")
+                f.write(pb.tobytes())
+                f.write(pw.tobytes())
+                continue
             b, w = decode_rows(r0, r1)
             for name, p in (("black", b), ("white", w)):
                 if p.shape != (r1 - r0, ch):
@@ -142,13 +162,17 @@ def read_checkpoint_meta(path: str) -> dict:
     return meta
 
 
-def load_checkpoint_state(path: str, encode=None):
+def load_checkpoint_state(path: str, encode=None, encode_packed=None):
     """Stream the body back; returns ((black, white), meta).
 
     With encode (a backend's bit-planes -> storage transform), each row
     chunk is encoded as it is read and only the backend STORAGE accumulates
     on device — the resume-side mirror of save_checkpoint_streamed. Without
     encode, returns full uint8 bit planes (small shapes / inspection).
+
+    encode_packed(pb, pw) -> storage chunk takes the raw packed FILE bytes
+    instead (the bit1 resume fast path: upload bytes, word-shuffle on
+    device, never an unpacked byte plane). Takes precedence over encode.
     """
     import jax
     import jax.numpy as jnp
@@ -176,7 +200,12 @@ def load_checkpoint_state(path: str, encode=None):
                                ).reshape(n, row_bytes)
             pw = np.frombuffer(f.read(n * row_bytes), np.uint8
                                ).reshape(n, row_bytes)
-            if encode is not None:
+            if encode_packed is not None:
+                eb, ew = encode_packed(pb, pw)
+                jax.block_until_ready((eb, ew))
+                bs.append(eb)
+                ws.append(ew)
+            elif encode is not None:
                 # Upload the packed BYTES and unpack on device (8x less
                 # host-link traffic; see _pack_rows).
                 eb, ew = encode(_unpack_rows_device(pb, ch),
@@ -187,7 +216,7 @@ def load_checkpoint_state(path: str, encode=None):
             else:
                 bs.append(np.unpackbits(pb, axis=1)[:, :ch])
                 ws.append(np.unpackbits(pw, axis=1)[:, :ch])
-    if encode is not None:
+    if encode is not None or encode_packed is not None:
         black = bs[0] if len(bs) == 1 else jnp.concatenate(bs, axis=0)
         white = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
     else:

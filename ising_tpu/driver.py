@@ -470,14 +470,23 @@ class Simulation:
         """Streamed save: decodes one row chunk at a time, so host memory
         stays O(chunk * ncols) even when the decoded planes would not fit
         (the save point of a 524288x65536 run is ~256 MB transient, not
-        34 GB)."""
+        34 GB). Backends whose storage already is 1 bit/spin (bit1) write
+        through the word-domain shuffle instead of a decode->repack round
+        trip — the file bytes are identical either way."""
         from .checkpoint import save_checkpoint_streamed
+        packed_rows = None
+        if hasattr(self.backend, "pack_storage_rows") and \
+                self.backend.pack_storage_rows(self.black, self.white,
+                                               0, 2) is not None:
+            packed_rows = lambda r0, r1: self.backend.pack_storage_rows(
+                self.black, self.white, r0, r1)
         save_checkpoint_streamed(
             path,
             lambda r0, r1: self.backend.decode(self.black[r0:r1],
                                                self.white[r0:r1]),
             self.cfg.nrows, self.cfg.ncols,
-            step=self.step, temp=self.temp, cfg=self.cfg)
+            step=self.step, temp=self.temp, cfg=self.cfg,
+            packed_rows=packed_rows)
 
     @classmethod
     def from_checkpoint(cls, path: str, **overrides):
@@ -491,6 +500,10 @@ class Simulation:
             import dataclasses
             cfg = dataclasses.replace(cfg, **overrides)
         be = get_backend(cfg)
-        (b, w), meta = load_checkpoint_state(path, be.encode)
+        encode_packed = None
+        if hasattr(be, "encode_packed_rows") and cfg.ncols % 512 == 0:
+            encode_packed = be.encode_packed_rows
+        (b, w), meta = load_checkpoint_state(path, be.encode,
+                                             encode_packed=encode_packed)
         return cls(cfg, storage=(b, w), step0=meta["step"],
                    temp=meta["temp"])

@@ -74,6 +74,45 @@ def unpack_bits1(packed):
     return jnp.stack(planes, axis=1).reshape(Y, SPW * W1)
 
 
+def words_to_packed_rows(words):
+    """(Y, W1) uint32 bit1 words -> (Y, 4*W1) uint8, np.packbits byte order.
+
+    Produces the EXACT bytes checkpoint._pack_rows(unpack_bits1(words))
+    would, without materializing the 8x-larger decoded byte plane: the v2
+    checkpoint file stays byte-identical and cross-backend portable, but a
+    bit1 save is a pure word-domain bit shuffle (col g*W1 + j = bit g of
+    word j; with W1 % 8 == 0 every output byte reads one bit of 8
+    consecutive words of a single plane bit g)."""
+    Y, W1 = words.shape
+    if W1 % 8:
+        raise ValueError("word-domain packing needs W1 % 8 == 0 "
+                         "(ncols % 512)")
+    gw = words.reshape(Y, W1 // 8, 8)
+    out = []
+    for g in range(SPW):
+        b = (gw >> g) & 1
+        acc = b[:, :, 0] << 7
+        for i in range(1, 8):
+            acc = acc | (b[:, :, i] << (7 - i))
+        out.append(acc.astype(jnp.uint8))
+    return jnp.concatenate(out, axis=1)
+
+
+def packed_rows_to_words(packed, W1: int):
+    """(Y, 4*W1) uint8 packed bytes (np.packbits order) -> (Y, W1) uint32
+    bit1 words — the resume-side inverse of words_to_packed_rows (upload
+    the file bytes, shuffle to storage on device, never a byte plane)."""
+    Y = packed.shape[0]
+    if W1 % 8:
+        raise ValueError("word-domain unpacking needs W1 % 8 == 0")
+    pg = jnp.asarray(packed).reshape(Y, SPW, W1 // 8).astype(jnp.uint32)
+    bits = jnp.stack([(pg >> (7 - i)) & 1 for i in range(8)], axis=3)
+    w = jnp.zeros((Y, W1 // 8, 8), jnp.uint32)
+    for g in range(SPW):
+        w = w | (bits[:, g] << g)
+    return w.reshape(Y, W1)
+
+
 def _neighbor_class_masks(me, up, dn, same, off):
     """Bit-plane predicates (ge3, ge4, eq2) of the mirrored count
     e = b ? n : 4 - n, from the 4-input bit-sliced adder n = n2 n1 n0."""
@@ -523,6 +562,23 @@ class Bit1Backend:
                 # chunk's transients live at once and OOM (seen on hw)
                 jax.block_until_ready((outs[0][-1], outs[1][-1]))
         return jnp.concatenate(outs[0]), jnp.concatenate(outs[1])
+
+    def pack_storage_rows(self, black_store, white_store, r0: int, r1: int):
+        """Checkpoint fast path: storage rows [r0, r1) as np.packbits-order
+        byte planes, straight from the 1-bit words (no decode). Returns
+        None when the geometry lacks the W1 % 8 alignment (caller falls
+        back to the decode path)."""
+        if black_store.shape[1] % 8:
+            return None
+        return (words_to_packed_rows(black_store[r0:r1]),
+                words_to_packed_rows(white_store[r0:r1]))
+
+    def encode_packed_rows(self, pb, pw):
+        """Resume fast path: file byte planes -> storage words on device."""
+        W1 = self.cfg.ncols // 64
+        if W1 % 8:
+            return None
+        return packed_rows_to_words(pb, W1), packed_rows_to_words(pw, W1)
 
     def row_up_counts(self, black_store, white_store):
         """Popcount magnetization straight on the 1-bit words (jit-fused,

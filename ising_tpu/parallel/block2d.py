@@ -103,9 +103,13 @@ def draws_block(mode: str, seed: int, nrows: int, ncl: int, *, step,
     [row0, row0+nrows), BIT-IDENTICAL to columns [col0, col0+ncl) of the
     full-row `counter_color_draws` output.
 
-    col0/row0 may be traced (axis_index-derived). This is where the frozen
-    contract's lane-concat layout exacts its price: LANES output words are
-    generated per kept word (the module docstring's no-go reason #1).
+    col0/row0 may be traced (axis_index-derived). col0 must be a multiple
+    of ncl (a uniform column partition) — with ncl dividing the lane-group
+    width g, that guarantees a block never straddles a lane-group boundary
+    (a traced col0 cannot be validated at trace time). This is where the
+    frozen contract's lane-concat layout exacts its price: LANES output
+    words are generated per kept word (the module docstring's no-go
+    reason #1).
     """
     family, rounds = parse_rng_mode(mode)
     if family not in _LANES:

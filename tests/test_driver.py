@@ -193,6 +193,50 @@ def test_checkpoint_resume_across_device_counts(tmp_path):
             err_msg=f"white diverged resuming ndev={nd_save}->{nd_resume}")
 
 
+def test_bit1_storage_domain_checkpoint(tmp_path, monkeypatch):
+    """bit1 checkpoints through the word-domain shuffle (no decode):
+    the file must be BYTE-IDENTICAL to the decode-path file, the fast
+    resume must land in the same storage words, and cross-backend
+    portability must be unaffected."""
+    import dataclasses
+    from ising_tpu.ops import pallas_bit1 as pb1
+
+    base = dict(nrows=8, ncols=512, temp=1.8, seed=21, niters=10)
+    cfg = SimConfig(backend="bit1", **base)
+    s = Simulation(cfg)
+    s.advance(4)
+
+    # unit round trip: words -> packed bytes -> words, and byte equality
+    # with the decode-path packing
+    from ising_tpu.checkpoint import _pack_rows
+    pb = pb1.words_to_packed_rows(s.black)
+    np.testing.assert_array_equal(
+        np.asarray(pb), np.asarray(_pack_rows(pb1.unpack_bits1(s.black))))
+    back = pb1.packed_rows_to_words(np.asarray(pb), s.black.shape[1])
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(s.black))
+
+    fast = str(tmp_path / "fast.ck")
+    s.checkpoint(fast)
+    # decode-path file (fast path disabled)
+    monkeypatch.delattr(type(s.backend), "pack_storage_rows")
+    slow = str(tmp_path / "slow.ck")
+    s.checkpoint(slow)
+    assert open(fast, "rb").read() == open(slow, "rb").read()
+
+    # fast resume (bit1) and cross-backend resume (xla) both continue
+    # bit-identically
+    monkeypatch.undo()
+    ref = Simulation(cfg)
+    ref.advance(10)
+    for target in ("bit1", "xla"):
+        r = Simulation.from_checkpoint(fast, backend=target)
+        assert r.step == 4
+        r.advance(6)
+        np.testing.assert_array_equal(np.asarray(ref.bits()[0]),
+                                      np.asarray(r.bits()[0]),
+                                      err_msg=f"resume into {target}")
+
+
 def test_checkpoint_resume_across_backends(tmp_path):
     """A checkpoint written by one backend resumes exactly on another."""
     import dataclasses
