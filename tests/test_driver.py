@@ -388,6 +388,10 @@ def test_checkpoint_truncated_file_rejected(tmp_path):
     open(path, "wb").write(b"NOTACKPT" + blob[8:])
     with pytest.raises(ValueError, match="magic"):
         Simulation.from_checkpoint(path)
+    # A v1 (.npz) checkpoint gets a targeted error, not "bad magic".
+    np.savez(path + ".npz", black=np.zeros((16, 16), np.uint8))
+    with pytest.raises(ValueError, match="v1 .*no longer supported"):
+        Simulation.from_checkpoint(path + ".npz")
     # Header geometry contradicting the embedded config (same-length edit
     # so only the consistency check can catch it).
     mutated = blob.replace(b'"nrows": 16', b'"nrows": 61', 1)
