@@ -54,6 +54,82 @@ class MomentAccumulator:
         return nspins * (self.m2 - self.mean ** 2) / temp
 
 
+    def specific_heat(self, nspins: int, temp: float) -> float:
+        """C/N = N (<e^2> - <e>^2) / T^2 for per-spin samples e = E/N.
+
+        Feed per-spin energies through add() (s2/s1 then hold energy
+        moments; binder_cumulant is meaningless for that accumulator —
+        keep separate accumulators for |m| and e).
+        """
+        return nspins * (self.m2 - self.mean ** 2) / temp ** 2
+
+
+def autocorrelation_time(series, c: float = 6.0) -> tuple[float, int]:
+    """Integrated autocorrelation time of an MC time series, with the
+    Madras-Sokal automatic window (J. Stat. Phys. 50, 109 (1988), §3;
+    standard practice for Metropolis observables near T_c where naive
+    error bars are wrong by a factor sqrt(2 tau)).
+
+    tau_int = 1/2 + sum_{t=1..W} rho(t), with the self-consistent window
+    W = min { t : t >= c * tau_int(t) }. Returns (tau_int, W). For an
+    uncorrelated series tau_int -> 1/2; the effective number of
+    independent samples is n / (2 tau_int).
+    """
+    x = np.asarray(series, np.float64)
+    n = x.size
+    if n < 8:
+        raise ValueError("need at least 8 samples")
+    x = x - x.mean()
+    var = float(np.dot(x, x)) / n
+    if var == 0.0:
+        return 0.5, 0
+    # FFT autocovariance (O(n log n); series from long runs are big)
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, m)
+    acov = np.fft.irfft(f * np.conj(f), m)[:n] / n
+    rho = acov / acov[0]
+    tau = 0.5
+    for t in range(1, n):
+        tau += float(rho[t])
+        if t >= c * tau:
+            return max(tau, 0.5), t
+    return max(tau, 0.5), n - 1
+
+
+def binned_error(series, nbins: int = 32) -> float:
+    """Standard error of the mean from non-overlapping bin averages.
+
+    Binning absorbs autocorrelation once the bin length exceeds ~2 tau;
+    the classic convergence check is that this estimate plateaus as bins
+    coarsen. nbins must leave at least 2 bins.
+    """
+    x = np.asarray(series, np.float64)
+    nbins = min(nbins, x.size)
+    if nbins < 2:
+        raise ValueError("need at least 2 bins")
+    nb = x.size // nbins
+    b = x[:nb * nbins].reshape(nbins, nb).mean(axis=1)
+    return float(b.std(ddof=1) / np.sqrt(nbins))
+
+
+def jackknife(samples, statistic) -> tuple[float, float]:
+    """Leave-one-out jackknife estimate and standard error of an arbitrary
+    statistic over independent samples (e.g. replica measurements): the
+    right error bar for NONLINEAR statistics like U4 or chi, where the
+    naive error of a ratio of moments is biased.
+    """
+    s = np.asarray(samples, np.float64)
+    n = s.shape[0]
+    if n < 2:
+        raise ValueError("need at least 2 samples")
+    full = float(statistic(s))
+    loo = np.array([statistic(np.delete(s, i, axis=0)) for i in range(n)],
+                   np.float64)
+    err = np.sqrt((n - 1) / n * np.sum((loo - loo.mean()) ** 2))
+    est = n * full - (n - 1) * loo.mean()  # bias-corrected
+    return float(est), float(err)
+
+
 def binder_crossing(temps, u4_by_size: dict[int, np.ndarray]) -> float:
     """Estimate Tc as the pairwise crossing of U4(T) curves for two sizes.
 

@@ -65,3 +65,74 @@ def test_binder_physics_tiny():
         acc.add(replica_magnetizations(*sim.bits(), xsl=8, ysl=8))
     assert acc.binder_cumulant() > 0.55
     assert acc.mean > 0.85
+
+
+def test_autocorrelation_time_ar1():
+    # AR(1): rho(t) = phi^t exactly, tau_int = (1 + phi) / (2 (1 - phi)).
+    from ising_tpu.analysis import autocorrelation_time
+    rs = np.random.RandomState(7)
+    phi = 0.8
+    n = 200_000
+    eps = rs.randn(n)
+    x = np.empty(n)
+    x[0] = eps[0]
+    for t in range(1, n):
+        x[t] = phi * x[t - 1] + eps[t]
+    tau, W = autocorrelation_time(x)
+    exact = (1 + phi) / (2 * (1 - phi))  # 4.5
+    assert tau == pytest.approx(exact, rel=0.10)
+    assert W >= 5  # window saw the correlated tail
+
+
+def test_autocorrelation_time_iid():
+    from ising_tpu.analysis import autocorrelation_time
+    rs = np.random.RandomState(3)
+    tau, W = autocorrelation_time(rs.randn(50_000))
+    assert tau == pytest.approx(0.5, abs=0.05)
+    assert W <= 10
+
+
+def test_binned_error_matches_naive_iid_and_inflates_ar1():
+    from ising_tpu.analysis import binned_error
+    rs = np.random.RandomState(11)
+    x = rs.randn(64_000)
+    naive = x.std(ddof=1) / np.sqrt(x.size)
+    assert binned_error(x, nbins=64) == pytest.approx(naive, rel=0.35)
+    # AR(1) with phi = 0.8: true SEM is sqrt(2 tau) = 3x the naive one.
+    phi = 0.8
+    y = np.empty(64_000)
+    y[0] = rs.randn()
+    for t in range(1, y.size):
+        y[t] = phi * y[t - 1] + rs.randn()
+    ratio = binned_error(y, nbins=64) / (y.std(ddof=1) / np.sqrt(y.size))
+    assert 2.0 < ratio < 4.5
+
+
+def test_jackknife_mean_matches_classic_sem():
+    from ising_tpu.analysis import jackknife
+    rs = np.random.RandomState(5)
+    s = rs.randn(200)
+    est, err = jackknife(s, lambda a: float(np.mean(a)))
+    assert est == pytest.approx(float(s.mean()), abs=1e-12)
+    assert err == pytest.approx(s.std(ddof=1) / np.sqrt(s.size), rel=1e-6)
+
+
+def test_jackknife_binder_error_shrinks_with_samples():
+    from ising_tpu.analysis import jackknife
+
+    def u4(a):
+        m2 = np.mean(a ** 2)
+        return 1.0 - np.mean(a ** 4) / (3 * m2 * m2)
+
+    rs = np.random.RandomState(9)
+    _, err_small = jackknife(rs.randn(64), u4)
+    _, err_big = jackknife(rs.randn(1024), u4)
+    assert err_big < err_small
+
+
+def test_specific_heat_identity():
+    acc = MomentAccumulator()
+    e = np.array([-1.9, -1.8, -2.0, -1.85])
+    acc.add(e)
+    want = 100 * (np.mean(e ** 2) - np.mean(e) ** 2) / 1.5 ** 2
+    assert acc.specific_heat(100, 1.5) == pytest.approx(want)
