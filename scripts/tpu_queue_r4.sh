@@ -22,6 +22,11 @@ q bench_c4b 3600 python -u bench.py --rng chacha4b
 q bench_pk8 3600 python -u bench.py --rng chacha8 --backend packed
 # 4. Re-warm the default headline program for the driver's BENCH capture
 q bench_hw 3600 python -u bench.py
+# Collect the JSON lines for the repro artifact (one line per capture)
+: > /tmp/r4q_repro.jsonl
+for n in c8b c4b pk8 hw; do
+  grep -h '^{' "/tmp/r4q_bench_$n.log" | tail -1 >> /tmp/r4q_repro.jsonl
+done
 # 5. Storage-domain checkpoint speedup evidence (RESULTS.md update)
 q ckpt_scale 5400 python -u scripts/verify_ckpt_scale.py
 echo "=== QUEUE DONE $(date -u +%H:%M:%S) ===" | tee -a /tmp/r4q_status.log
