@@ -20,14 +20,9 @@ import numpy as np
 
 from ising_tpu import SimConfig, TCRIT
 from ising_tpu.analysis import (MomentAccumulator, binder_crossing,
-                                jackknife)
+                                binder_u4, jackknife)
 from ising_tpu.driver import Simulation
 from ising_tpu.observables import replica_magnetizations
-
-
-def _u4(samples):
-    m2 = np.mean(samples ** 2)
-    return 1.0 - np.mean(samples ** 4) / (3.0 * m2 * m2)
 
 
 def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
@@ -56,7 +51,7 @@ def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
             # Jackknife over REPLICAS (independent systems; measurements
             # within one replica are correlated, so resample the replica
             # axis) — the right error bar for the nonlinear U4.
-            _, u4_err = jackknife(np.stack(per_replica, axis=1), _u4)
+            _, u4_err = jackknife(np.stack(per_replica, axis=1), binder_u4)
             print(f"L={L:4d} T={t:6.4f}  <|m|>={acc.mean:8.5f}  "
                   f"U4={u4[L][-1]:8.5f} +- {u4_err:.5f}  "
                   f"({acc.n} samples)", flush=True)

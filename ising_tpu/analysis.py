@@ -64,6 +64,17 @@ class MomentAccumulator:
         return nspins * (self.m2 - self.mean ** 2) / temp ** 2
 
 
+def binder_u4(samples) -> float:
+    """U4 = 1 - <m^4>/(3 <m^2>^2) of a sample array — the functional form
+    jackknife() needs (MomentAccumulator.binder_cumulant is the streaming
+    twin; keep the formula in one place)."""
+    s = np.asarray(samples, np.float64)
+    m2 = float(np.mean(s ** 2))
+    if s.size == 0 or m2 == 0.0:
+        return float("nan")
+    return 1.0 - float(np.mean(s ** 4)) / (3.0 * m2 * m2)
+
+
 def autocorrelation_time(series, c: float = 6.0) -> tuple[float, int]:
     """Integrated autocorrelation time of an MC time series, with the
     Madras-Sokal automatic window (J. Stat. Phys. 50, 109 (1988), §3;
@@ -101,12 +112,15 @@ def binned_error(series, nbins: int = 32) -> float:
 
     Binning absorbs autocorrelation once the bin length exceeds ~2 tau;
     the classic convergence check is that this estimate plateaus as bins
-    coarsen. nbins must leave at least 2 bins.
+    coarsen. nbins is capped so every bin holds >= 2 samples (1-sample
+    bins would silently degrade to the naive autocorrelation-blind SEM —
+    the estimate this function exists to replace); at least 2 bins must
+    remain.
     """
     x = np.asarray(series, np.float64)
-    nbins = min(nbins, x.size)
+    nbins = min(nbins, x.size // 2)
     if nbins < 2:
-        raise ValueError("need at least 2 bins")
+        raise ValueError("need at least 4 samples (2 bins of >= 2)")
     nb = x.size // nbins
     b = x[:nb * nbins].reshape(nbins, nb).mean(axis=1)
     return float(b.std(ddof=1) / np.sqrt(nbins))

@@ -172,7 +172,8 @@ def load_checkpoint_state(path: str, encode=None, encode_packed=None):
 
     encode_packed(pb, pw) -> storage chunk takes the raw packed FILE bytes
     instead (the bit1 resume fast path: upload bytes, word-shuffle on
-    device, never an unpacked byte plane). Takes precedence over encode.
+    device, never an unpacked byte plane). Takes precedence over encode;
+    it may return None (unsupported geometry) to fall back to encode.
     """
     import jax
     import jax.numpy as jnp
@@ -200,8 +201,10 @@ def load_checkpoint_state(path: str, encode=None, encode_packed=None):
                                ).reshape(n, row_bytes)
             pw = np.frombuffer(f.read(n * row_bytes), np.uint8
                                ).reshape(n, row_bytes)
-            if encode_packed is not None:
-                eb, ew = encode_packed(pb, pw)
+            packed_pair = None if encode_packed is None \
+                else encode_packed(pb, pw)
+            if packed_pair is not None:
+                eb, ew = packed_pair
                 jax.block_until_ready((eb, ew))
                 bs.append(eb)
                 ws.append(ew)

@@ -476,8 +476,7 @@ class Simulation:
         from .checkpoint import save_checkpoint_streamed
         packed_rows = None
         if hasattr(self.backend, "pack_storage_rows") and \
-                self.backend.pack_storage_rows(self.black, self.white,
-                                               0, 2) is not None:
+                self.backend.storage_pack_supported(self.black):
             packed_rows = lambda r0, r1: self.backend.pack_storage_rows(
                 self.black, self.white, r0, r1)
         save_checkpoint_streamed(
@@ -500,9 +499,10 @@ class Simulation:
             import dataclasses
             cfg = dataclasses.replace(cfg, **overrides)
         be = get_backend(cfg)
-        encode_packed = None
-        if hasattr(be, "encode_packed_rows") and cfg.ncols % 512 == 0:
-            encode_packed = be.encode_packed_rows
+        # The backend's encode_packed_rows returns None on unsupported
+        # geometry and the loader falls back to the decode path — no
+        # geometry knowledge duplicated here.
+        encode_packed = getattr(be, "encode_packed_rows", None)
         (b, w), meta = load_checkpoint_state(path, be.encode,
                                              encode_packed=encode_packed)
         return cls(cfg, storage=(b, w), step0=meta["step"],

@@ -193,14 +193,19 @@ int main(int argc, char** argv) {
       if (phase > 0)
         for (uint64_t i = 0; i < Q * 32; ++i) temporal.add(vprev[i], vcur[i]);
       std::swap(vprev, vcur);
-      // birthday spacings for this (s, color) trial
-      std::sort(bday.begin(), bday.end());
-      std::vector<uint32_t> sp(BDAY_N - 1);
-      for (uint64_t i = 0; i + 1 < BDAY_N; ++i) sp[i] = bday[i + 1] - bday[i];
-      std::sort(sp.begin(), sp.end());
-      for (uint64_t i = 0; i + 1 < BDAY_N - 1; ++i)
-        if (sp[i] == sp[i + 1]) ++bday_dups;
-      ++bday_trials;
+      // birthday spacings for this (s, color) trial; needs a full buffer
+      // (Q < BDAY_N would leave stale values from the previous trial and
+      // inflate the duplicate count — skip the test at tiny log2q)
+      if (Q >= BDAY_N) {
+        std::sort(bday.begin(), bday.end());
+        std::vector<uint32_t> sp(BDAY_N - 1);
+        for (uint64_t i = 0; i + 1 < BDAY_N; ++i)
+          sp[i] = bday[i + 1] - bday[i];
+        std::sort(sp.begin(), sp.end());
+        for (uint64_t i = 0; i + 1 < BDAY_N - 1; ++i)
+          if (sp[i] == sp[i + 1]) ++bday_dups;
+        ++bday_trials;
+      }
     }
   }
 
@@ -262,7 +267,7 @@ int main(int argc, char** argv) {
     }
     results.push_back({"rank", chi2, chi2_upper_p(chi2, 2.0)});
   }
-  {  // birthday spacings: total duplicates ~ Poisson(4 * trials)
+  if (bday_trials) {  // birthday spacings: duplicates ~ Poisson(4 * trials)
     double mu = 4.0 * (double)bday_trials;
     double zz = ((double)bday_dups - mu) / std::sqrt(mu);
     results.push_back({"bday", zz, normal_two_sided_p(zz)});

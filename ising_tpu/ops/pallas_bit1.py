@@ -563,6 +563,11 @@ class Bit1Backend:
                 jax.block_until_ready((outs[0][-1], outs[1][-1]))
         return jnp.concatenate(outs[0]), jnp.concatenate(outs[1])
 
+    def storage_pack_supported(self, black_store) -> bool:
+        """Statically decidable gate for the checkpoint fast path (the
+        driver checks this instead of probing with real device work)."""
+        return black_store.shape[1] % 8 == 0
+
     def pack_storage_rows(self, black_store, white_store, r0: int, r1: int):
         """Checkpoint fast path: storage rows [r0, r1) as np.packbits-order
         byte planes, straight from the 1-bit words (no decode). Returns

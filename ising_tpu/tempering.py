@@ -129,7 +129,20 @@ class ParallelTempering:
         self.accepts = [0] * (len(temps) - 1)
         self.batched = bool(batched)
         self._round_fn = None   # built lazily on the first batched round
+        self._round_key = None  # steppers it was built against
         self._cache = None      # last batched round's (H, up-counts)
+        # Observables inline into the jitted round only while the whole
+        # ladder's transients stay small: under jit the row-chunk fences
+        # are no-ops (observables._fence), so XLA may schedule every
+        # rung's energy slabs concurrently — at giant per-rung shapes
+        # that would OOM where the sequential path's fenced chunking is
+        # exactly what keeps it alive. Past the cap, the round function
+        # returns states only and the partials run as eager fenced
+        # dispatches (still ONE fetch; see _advance_round_batched).
+        be = self.sims[0].backend
+        bytes_per_spin = 1 if hasattr(be, "energy_rows") else 4
+        self._inline_obs = (len(self.sims) * cfg.nspins * bytes_per_spin
+                            <= 1 << 31)
 
     def _swap_draw(self, pair: int) -> int:
         """One u32 for this (round, pair) proposal — its own counter
@@ -177,30 +190,42 @@ class ParallelTempering:
         from functools import partial
         sims = self.sims
 
+        inline_obs = self._inline_obs
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def round_fn(blacks, whites, thrs, step0, n, jbs, jws, links):
             out = []
             for i, s in enumerate(sims):
                 b, w = s._step_n.raw(blacks[i], whites[i], thrs[i],
                                      step0, n, jbs[i], jws[i])
-                er = s._energy_rows_for(b, w, links=links[i],
-                                        row_chunk=s.cfg.nrows)
-                out.append((b, w, er, s._up_rows_for(b, w)))
-            bs, ws, ers, urs = zip(*out)
-            return bs, ws, ers, urs
+                if inline_obs:
+                    # Single-slab (row_chunk >= nrows): fully traceable,
+                    # and the size cap above bounds the transients.
+                    er = s._energy_rows_for(b, w, links=links[i],
+                                            row_chunk=s.cfg.nrows)
+                    out.append((b, w, er, s._up_rows_for(b, w)))
+                else:
+                    out.append((b, w))
+            return tuple(zip(*out))
 
         return round_fn
 
     def _advance_round_batched(self):
         import jax
         import numpy as np
-        if self._round_fn is None:
+        # A rung's stepper is rebuilt when its kernel constants change
+        # (Simulation.set_temperature on a temp_static backend): the round
+        # function must be rebuilt with it or it would keep stepping with
+        # the stale baked thresholds.
+        key = tuple(id(s._step_n) for s in self.sims)
+        if self._round_fn is None or key != self._round_key:
             self._round_fn = self._build_round_fn()
+            self._round_key = key
         import jax.numpy as jnp
         step0 = self.sims[0].step
         assert all(s.step == step0 for s in self.sims), \
             "rungs advanced out of lockstep"
-        bs, ws, ers, urs = self._round_fn(
+        outs = self._round_fn(
             tuple(s.black for s in self.sims),
             tuple(s.white for s in self.sims),
             tuple(s._thr for s in self.sims),
@@ -208,15 +233,23 @@ class ParallelTempering:
             tuple(s._step_n.jargs[0] for s in self.sims),
             tuple(s._step_n.jargs[1] for s in self.sims),
             tuple(s._links_store for s in self.sims))
+        bs, ws = outs[0], outs[1]
         for s, b, w in zip(self.sims, bs, ws):
             s.black, s.white = b, w
             s.step = step0 + self.sweeps_per_swap
+        if self._inline_obs:
+            ers, urs = outs[2], outs[3]
+        else:
+            # Giant rungs: eager per-rung partials (fenced row chunking
+            # bounds live memory), async dispatches joined by the fetch.
+            ers = [s._energy_rows() for s in self.sims]
+            urs = [s._up_rows_for(s.black, s.white) for s in self.sims]
         ers, urs = jax.device_get((ers, urs))  # the round's ONE fetch
         H = [-int(np.asarray(r, np.int64).sum()) for r in ers]
         ups = [int(np.asarray(u, np.int64).sum()) for u in urs]
         self._do_swaps(H, ups)
-        self._cache = {"step": self.sims[0].step, "round": self.round,
-                       "H": H, "ups": ups}
+        self._cache = {"steps": tuple(s.step for s in self.sims),
+                       "round": self.round, "H": H, "ups": ups}
 
     def advance_round(self):
         """sweeps_per_swap sweeps on every rung, then one swap phase.
@@ -252,7 +285,7 @@ class ParallelTempering:
         in ONE device_get rather than 2K sequential round trips."""
         c = self._cache
         if c is not None and c["round"] == self.round and \
-                c["step"] == self.sims[0].step:
+                c["steps"] == tuple(s.step for s in self.sims):
             H, ups = c["H"], c["ups"]
         else:
             import jax

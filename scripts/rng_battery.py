@@ -45,11 +45,21 @@ def main():
                            capture_output=True, text=True)
         with open(log, "w") as f:
             f.write(p.stdout)
-        print(p.stdout.strip().splitlines()[-1], flush=True)
+        # A statistical FAIL is returncode 1 WITH a VERDICT line; anything
+        # else (crash, signal, empty output) is a battery malfunction, not
+        # a result.
+        verdict_lines = [ln for ln in p.stdout.splitlines()
+                         if ln.startswith("VERDICT")]
+        if p.returncode not in (0, 1) or not verdict_lines:
+            print(f"ERROR: rngtest crashed on chacha{r} "
+                  f"(rc={p.returncode}): {p.stderr.strip()[:200]}",
+                  file=sys.stderr)
+            return 2
+        print(verdict_lines[-1], flush=True)
         verdicts[r] = "FAIL" if p.returncode else "PASS/WEAK"
 
     os.unlink(binary)
-    if verdicts.get(2) != "FAIL":
+    if 2 in args.rounds and verdicts.get(2) != "FAIL":
         print("ERROR: chacha2 passed — the battery has lost its teeth",
               file=sys.stderr)
         return 1
@@ -58,7 +68,8 @@ def main():
         print(f"ERROR: qualified tiers failed: chacha{bad}",
               file=sys.stderr)
         return 1
-    print("battery ok: chacha2 FAILs (teeth), chacha4/6/8 pass")
+    print("battery ok: " + ", ".join(
+        f"chacha{r}={verdicts[r]}" for r in args.rounds))
     return 0
 
 

@@ -118,16 +118,23 @@ def test_jackknife_mean_matches_classic_sem():
 
 
 def test_jackknife_binder_error_shrinks_with_samples():
-    from ising_tpu.analysis import jackknife
-
-    def u4(a):
-        m2 = np.mean(a ** 2)
-        return 1.0 - np.mean(a ** 4) / (3 * m2 * m2)
+    from ising_tpu.analysis import binder_u4, jackknife
 
     rs = np.random.RandomState(9)
-    _, err_small = jackknife(rs.randn(64), u4)
-    _, err_big = jackknife(rs.randn(1024), u4)
+    _, err_small = jackknife(rs.randn(64), binder_u4)
+    _, err_big = jackknife(rs.randn(1024), binder_u4)
     assert err_big < err_small
+    # gaussian m: <m^4> = 3 <m^2>^2, so U4 -> 0
+    est, _ = jackknife(rs.randn(4096), binder_u4)
+    assert abs(est) < 0.05
+
+
+def test_binned_error_rejects_one_sample_bins():
+    from ising_tpu.analysis import binned_error
+    with pytest.raises(ValueError, match="at least 4 samples"):
+        binned_error(np.arange(3.0))
+    # 20 samples: bins capped at 10 of 2, never 1-sample bins
+    assert binned_error(np.arange(20.0), nbins=32) > 0
 
 
 def test_specific_heat_identity():

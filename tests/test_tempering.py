@@ -233,3 +233,64 @@ def test_measure_and_stats_shapes():
     st = pt.stats()
     assert st["round"] == 1 and len(st["pair_acceptance"]) == 1
     assert sorted(st["replica_at"]) == [0, 1]
+
+
+def test_giant_rung_fallback_matches_inlined():
+    """Past the transient-size cap the jitted round returns states only
+    and the partials run as eager fenced dispatches — trajectories, swap
+    records, and measure() must be identical either way."""
+    temps = [1.6, 2.0, 2.4]
+    runs = {}
+    for force_fallback in (False, True):
+        pt = ParallelTempering(_base_cfg(), temps, sweeps_per_swap=2)
+        if force_fallback:
+            pt._inline_obs = False
+        for _ in range(4):
+            pt.advance_round()
+        runs[force_fallback] = (
+            [np.asarray(s.bits()[0]) for s in pt.sims],
+            pt.accepts, pt.replica_at, pt.measure())
+    for a, b in zip(runs[False][0], runs[True][0]):
+        np.testing.assert_array_equal(a, b)
+    assert runs[False][1:] == runs[True][1:]
+
+
+def test_inline_obs_cap_engages_for_giant_ladders():
+    pt = ParallelTempering(_base_cfg(), [1.5, 1.9], sweeps_per_swap=1)
+    assert pt._inline_obs  # 16x32 rungs: far under the cap
+    # the cap (K x nspins x bytes/spin <= 2 GiB) trips at giant rungs:
+    # 2 rungs x 32768^2 spins x 4 B/spin = 8 GiB on the decode path
+    big = SimConfig(nrows=32768, ncols=32768, temp=1.0, seed=1)
+    assert 2 * big.nspins * 4 > 1 << 31
+
+
+def test_set_temperature_rebuilds_batched_round():
+    """Changing a rung's temperature after rounds have run must flow into
+    subsequent batched rounds (static-threshold backends rebuild their
+    stepper; the cached round function must follow)."""
+    temps = [1.5, 1.9]
+    kw = dict(backend="xla", rng="threefry13b", ncols=64)
+    runs = {}
+    for batched in (True, False):
+        pt = ParallelTempering(_base_cfg(**kw), temps, sweeps_per_swap=1,
+                               batched=batched)
+        pt.advance_round()
+        pt.sims[0].set_temperature(1.0)  # bit-plane mode: thresholds baked
+        pt.advance_round()
+        pt.advance_round()
+        runs[batched] = ([np.asarray(s.bits()[0]) for s in pt.sims],
+                         pt.accepts, pt.replica_at)
+    for a, b in zip(runs[True][0], runs[False][0]):
+        np.testing.assert_array_equal(a, b)
+    assert runs[True][1:] == runs[False][1:]
+
+
+def test_measure_cache_invalidated_by_out_of_band_advance():
+    pt = ParallelTempering(_base_cfg(), [1.5, 1.9], sweeps_per_swap=1)
+    pt.advance_round()
+    before = pt.measure()
+    pt.sims[1].advance(4)  # out-of-band: cache must not serve rung 1
+    after = pt.measure()
+    assert after[1]["step"] == before[1]["step"] + 4
+    # rung 0 untouched; rung 1's counts refetched from the new state
+    assert after[0]["up"] == before[0]["up"]
