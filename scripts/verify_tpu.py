@@ -135,6 +135,8 @@ def main(argv=None):
             # qualified reduced-round tiers (docs/rng_battery/)
             dict(nrows=64, ncols=8192, rng="chacha6b"),
             dict(nrows=64, ncols=16384, rng="chacha4b"),
+            dict(nrows=64, ncols=8192, rng="chacha4"),
+            dict(nrows=64, ncols=16384, rng="chacha6"),
             # bit-sliced J-XOR disorder (classic per-color planes)
             dict(nrows=64, ncols=8192, rng="threefry13", j_prob=0.3),
             dict(nrows=64, ncols=8192, rng="philox7b", j_prob=0.3),
