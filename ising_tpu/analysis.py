@@ -11,6 +11,7 @@ sizes cross at Tc.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import numpy as np
 
@@ -142,6 +143,59 @@ def jackknife(samples, statistic) -> tuple[float, float]:
     err = np.sqrt((n - 1) / n * np.sum((loo - loo.mean()) ** 2))
     est = n * full - (n - 1) * loo.mean()  # bias-corrected
     return float(est), float(err)
+
+
+def kmin_mag2(line_counts, n_per_line: int) -> float:
+    """|m(k1)|^2: squared Fourier magnetization at the smallest wavevector.
+
+    line_counts[x] is the exact up-spin count of lattice line x along the
+    chosen axis (observables.col_up_counts for k along columns,
+    row_up_counts for k along rows); n_per_line the number of spins per
+    line. With per-line spin sums S[x] = 2*c[x] - n_per_line and
+    k1 = 2*pi/L, returns |sum_x e^{-i k1 x} S[x]|^2 — identical to
+    |FFT2(s)[0, 1]|^2 (k along x) / |FFT2(s)[1, 0]|^2 (k along y) of the
+    full +-1 plane, at O(L) host cost from integer partials instead of an
+    O(N log N) FFT of a materialized plane.
+    """
+    c = np.asarray(line_counts, np.float64)
+    L = c.size
+    s = 2.0 * c - float(n_per_line)
+    mk = np.sum(s * np.exp((-2j * np.pi / L) * np.arange(L)))
+    return float(mk.real ** 2 + mk.imag ** 2)
+
+
+def second_moment_xi(m0sq: float, mksq: float, L: int) -> float:
+    """Second-moment correlation length from ensemble-mean |m(k)|^2.
+
+    xi_L = sqrt(<|m(0)|^2> / <|m(k1)|^2> - 1) / (2 sin(pi/L)), the standard
+    finite-size estimator (Cooper-Freedman-Preston / Caracciolo et al.):
+    exact for a free-field propagator, and xi_L/L curves for different L
+    cross at Tc like the Binder cumulant. Inputs are UN-centered second
+    moments (use it in the disordered phase or per-|m| sector); mksq <= 0
+    (a perfectly k1-free configuration set) returns inf, and sampling
+    noise that drives the bracket negative clamps to 0.
+    """
+    if not mksq > 0.0:
+        return float("inf")
+    return (math.sqrt(max(m0sq / mksq - 1.0, 0.0))
+            / (2.0 * math.sin(math.pi / L)))
+
+
+def correlation_length(m0sq_samples, mksq_samples, L: int):
+    """(xi, err): jackknifed second-moment correlation length over paired
+    per-measurement samples of |m(0)|^2 and |m(k1)|^2 (kmin_mag2)."""
+    pairs = np.stack([np.asarray(m0sq_samples, np.float64),
+                      np.asarray(mksq_samples, np.float64)], axis=1)
+    return jackknife(pairs, lambda s: second_moment_xi(
+        float(np.mean(s[:, 0])), float(np.mean(s[:, 1])), L))
+
+
+def structure_factor(spins) -> np.ndarray:
+    """S(k) = |FFT2(s)|^2 / N of a +-1 spin plane (host-side, for plane
+    sizes worth materializing; the k1 entries reproduce kmin_mag2/N)."""
+    s = np.asarray(spins, np.float64)
+    f = np.fft.fft2(s)
+    return (f.real ** 2 + f.imag ** 2) / s.size
 
 
 def binder_crossing(temps, u4_by_size: dict[int, np.ndarray]) -> float:

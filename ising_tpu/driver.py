@@ -411,6 +411,30 @@ class Simulation:
             return self.backend.row_up_counts(black, white)
         return observables.row_up_counts(*self.backend.decode(black, white))
 
+    def fourier_partials(self):
+        """Exact (per-row, per-column) up-spin counts, as int64 numpy.
+
+        The integer partials of the Fourier magnetizations m(0) and
+        m(k1 = 2*pi/L) along both axes: feed to analysis.kmin_mag2 per
+        measurement and the |m|^2 sample pairs to
+        analysis.correlation_length for the second-moment xi. One batched
+        device fetch; word-domain on bit1 (no decode), streamed from
+        storage otherwise. Full-lattice only — replica tiles (xsl/ysl)
+        would mix sub-lattices in the line sums.
+        """
+        if self.cfg.xsl is not None or self.cfg.ysl is not None:
+            raise ValueError("fourier_partials needs full-lattice mode "
+                             "(replica tiles mix in the line sums); use "
+                             "replica_magnetizations for tile statistics")
+        rows = self._up_rows_for(self.black, self.white)
+        if hasattr(self.backend, "col_up_counts"):
+            cols = self.backend.col_up_counts(self.black, self.white)
+        else:
+            cols = observables.col_up_counts_via(self._decode_rows,
+                                                 self.cfg.nrows)
+        r, c = jax.device_get((rows, cols))
+        return np.asarray(r, np.int64), np.asarray(c, np.int64)
+
     def energy(self) -> float:
         """Internal energy per spin. Word-domain fast path on bit1 (both
         ordered and disordered — the parity-split packed link store feeds

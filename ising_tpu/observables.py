@@ -495,6 +495,89 @@ def packed_row_up_counts(black_w, white_w):
     return word_row_up_counts(black_w, white_w, field_mask=0x11111111)
 
 
+# ----------------------------------------------------------------------------
+# Column-axis partials: the Fourier-magnetization inputs. Per-column up
+# counts are the column twin of row_up_counts; together they carry the exact
+# integer content of m(0) and of the smallest-wavevector magnetization
+# m(k1 = 2*pi/L) along either axis (the phase dot is a host-side float64
+# finish, analysis.kmin_mag2), from which the second-moment correlation
+# length follows without materializing any spin plane or FFT. New capability
+# beyond the reference (whose only length observable is the direct-space
+# correlation function, optimized/main.cu:870-1070).
+
+@jax.jit
+def _col_up_block(black, white):
+    """Per-full-lattice-column up counts of one row slab, uint32 (X,)."""
+    e, o = _col_parity_planes(black, white)
+    ce = jnp.sum(e.astype(jnp.uint32), axis=0)
+    co = jnp.sum(o.astype(jnp.uint32), axis=0)
+    # Full column 2j is the E plane's column j, 2j+1 the O plane's.
+    return jnp.stack([ce, co], axis=1).reshape(-1)
+
+
+def _col_chunked(block, a, b, nrows: int, row_chunk: int):
+    """Accumulate a per-column block reduction over even-aligned row slabs.
+
+    Slabs start at even rows so each slab's local row parity equals the
+    global parity _col_parity_planes needs. Per-column totals stay exact in
+    uint32 at any supported height (Y <= 2^20 << 2^32)."""
+    R = min(nrows, row_chunk - (row_chunk % 2))
+    if nrows <= R:
+        return block(a, b)
+    acc = None
+    for r in range(0, nrows, R):
+        part = block(a[r:r + R], b[r:r + R])
+        acc = part if acc is None else acc + part
+        _fence(acc)
+    return acc
+
+
+def col_up_counts(black, white, row_chunk: int = 8192):
+    """Per-column count of up spins over the full lattice, uint32 (X,)."""
+    return _col_chunked(_col_up_block, black, white, black.shape[0],
+                        row_chunk)
+
+
+def col_up_counts_via(decode_rows, nrows: int, row_chunk: int = 8192):
+    """col_up_counts from backend storage via a row decoder callback
+    (decode_rows(r, n) -> compact (black, white) planes for rows [r, r+n))
+    — no full-lattice decode ever materializes."""
+    Y = nrows
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    acc = None
+    for r in range(0, Y, R):
+        part = _col_up_block(*decode_rows(r, R))
+        acc = part if acc is None else acc + part
+        if R < Y:
+            _fence(acc)
+    return acc
+
+
+@jax.jit
+def _bit1_col_up_block(black_w, white_w):
+    """Word-domain per-column up counts of one row slab (bit1 storage).
+
+    Bit g of word lane j is compact column g*W1 + j (the lane-concat
+    layout, see _col_shift_words), so extracting bit plane g and reducing
+    rows yields the counts of W1 consecutive compact columns."""
+    e, o = _col_parity_planes(black_w, white_w)
+
+    def percol(x):
+        return jnp.concatenate(
+            [jnp.sum(((x >> g) & jnp.uint32(1)).astype(jnp.uint32), axis=0)
+             for g in range(32)])
+
+    return jnp.stack([percol(e), percol(o)], axis=1).reshape(-1)
+
+
+def bit1_col_up_counts(black_w, white_w, row_chunk: int = 8192):
+    """col_up_counts computed directly on bit1 word storage (no decode)."""
+    return _col_chunked(_bit1_col_up_block, black_w, white_w,
+                        black_w.shape[0], row_chunk)
+
+
 def replica_magnetizations(black, white, xsl: int, ysl: int) -> np.ndarray:
     """|m| per sub-lattice replica, shape (Y//ysl, X//xsl) -> flattened.
 

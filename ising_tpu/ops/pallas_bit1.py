@@ -605,6 +605,12 @@ class Bit1Backend:
         return observables.bit1_energy_row_sums(black_store, white_store,
                                                 links_words=links_words)
 
+    def col_up_counts(self, black_store, white_store):
+        """Per-column up counts straight on the 1-bit words (the column
+        twin of row_up_counts; feeds analysis.kmin_mag2)."""
+        from ..observables import bit1_col_up_counts
+        return bit1_col_up_counts(black_store, white_store)
+
     def corr_rows(self, black_store, white_store, corr_len):
         from .. import observables
         return observables.bit1_correlation_row_sums(
