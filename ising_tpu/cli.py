@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--j-seed", type=int, default=None,
                    help="seed for the disorder realization (defaults to "
                         "-s: fix it to vary only the thermal stream)")
+    p.add_argument("--field", type=float, default=0.0,
+                   help="uniform external field h (beyond the reference; "
+                        "xla backend + u32 rng modes)")
     p.add_argument("--xsl", type=int, default=None,
                    help="X size of independent sub-lattice replicas")
     p.add_argument("--ysl", type=int, default=None,
@@ -107,7 +110,7 @@ def config_from_args(args) -> SimConfig:
         print_freq=args.print_freq,
         print_exp=args.exppr or args.exppr_ref, exp_thinned=args.exppr_ref,
         tgt_magn=args.tgt_magn, temp_step=temp_step, temp_freq=temp_freq,
-        j_prob=args.j_prob, j_seed=args.j_seed,
+        j_prob=args.j_prob, j_seed=args.j_seed, field=args.field,
         xsl=args.xsl, ysl=args.ysl, ndev=args.devs,
         halo_overlap=args.halo_overlap,
         dump_lattice=args.out, corr_out=args.corr)
@@ -144,6 +147,8 @@ def main(argv=None) -> int:
         print(f"\tsub-lattices: {cfg.xsl} x {cfg.ysl}")
     if cfg.j_prob is not None:
         print(f"\tdisorder: P(antiferro link) = {cfg.j_prob}")
+    if cfg.field:
+        print(f"\texternal field: h = {cfg.field}")
     print(f"\titerations: {cfg.niters} (+{cfg.nwarmup} warmup)")
 
     from .utils.profiling import trace

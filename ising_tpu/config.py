@@ -83,6 +83,14 @@ class SimConfig:
     j_prob: float | None = None
     j_seed: int | None = None
 
+    # Uniform external field h: H = -sum_<ij> J_ij s_i s_j - h sum_i s_i
+    # (beyond the reference, which has no field term). h enters only
+    # through the host-side acceptance table, but it breaks the
+    # b <-> (4-n) mirror symmetry the 3-threshold kernel paths exploit,
+    # so field runs currently need the xla backend and a u32-contract rng
+    # mode (see models/ising.acceptance_probabilities).
+    field: float = 0.0
+
     # Sub-lattice replica mode: wrap periodically inside xsl x ysl tiles
     # (reference --xsl/--ysl, optimized/main.cu:1423-1463).
     xsl: int | None = None
@@ -153,6 +161,18 @@ class SimConfig:
                     f"({self.nrows // self.ndev})")
         if self.j_prob is not None and not (0.0 <= self.j_prob <= 1.0):
             raise ValueError("j_prob must be in [0, 1]")
+        if self.field != 0.0:
+            if self.backend != "xla":
+                raise ValueError(
+                    "external field is supported on the xla backend only "
+                    "(the Pallas tiers' 3-threshold accept paths assume "
+                    "the h = 0 mirror symmetry)")
+            from .rng import plane_bits
+            if self.rng == "hw" or plane_bits(self.rng):
+                raise ValueError(
+                    "external field needs a u32-contract rng mode (the "
+                    "bit-plane/hw accept paths hard-code the h = 0 "
+                    "stochastic classes)")
 
     @property
     def temperature(self) -> float:

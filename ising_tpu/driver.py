@@ -183,7 +183,8 @@ class Simulation:
             b = jax.device_put(b, self.shardings["plane"])
             w = jax.device_put(w, self.shardings["plane"])
         self.black, self.white = b, w
-        self._thr = jnp.asarray(ising.threshold_table(self.temp))
+        self._thr = jnp.asarray(ising.threshold_table(self.temp,
+                                               self.cfg.field))
 
     def _links_slab_of(self, store, r: int, n: int):
         """(v, h) uint8 link rows [r, r+n) of the given store (unpacking +
@@ -245,7 +246,8 @@ class Simulation:
 
     def set_temperature(self, temp: float):
         self.temp = float(temp)
-        self._thr = jnp.asarray(ising.threshold_table(self.temp))
+        self._thr = jnp.asarray(ising.threshold_table(self.temp,
+                                               self.cfg.field))
         rebuild = False
         if hasattr(self.backend, "greedy") and \
                 self.backend.greedy != (self.temp <= 0):
@@ -440,8 +442,15 @@ class Simulation:
         ordered and disordered — the parity-split packed link store feeds
         the word XORs directly); otherwise streamed from storage per row
         slab (a full-lattice decode plus resident disorder links does not
-        fit at 65536^2-per-chip)."""
-        return -float(self.energy_total()) / self.cfg.nspins
+        fit at 65536^2-per-chip). An external field adds its exact
+        -h sum(s) term from the integer up count."""
+        e = -float(self.energy_total())
+        h = self.cfg.field
+        if h:
+            ups = int(np.asarray(jax.device_get(
+                self._up_rows_for(self.black, self.white)), np.int64).sum())
+            e -= h * (2 * ups - self.cfg.nspins)
+        return e / self.cfg.nspins
 
     def _append_corr(self, it: int):
         if self.cfg.xsl is None and hasattr(self.backend, "corr_rows"):

@@ -29,18 +29,25 @@ import numpy as np
 from ..constants import TCRIT
 
 
-def acceptance_probabilities(temp: float) -> np.ndarray:
+def acceptance_probabilities(temp: float, field: float = 0.0) -> np.ndarray:
     """Float64 acceptance probabilities p[b][n], b=own bit, n=neighbor bit sum.
 
     Mirrors the reference's exp table semantics (optimized/main.cu:1683-1697):
     p[b][n] = exp((b ? -2 : 2) * (2n - 4) / T). For T <= 0 the dynamics
     degenerate to a greedy quench: accept iff dE < 0, coin-flip on dE == 0
     (the reference's T==0 special case sets p[.][2] = 0.5).
+
+    A uniform external field h (beyond the reference) adds -h sum_i s_i to
+    the Hamiltonian, so the flip cost becomes dE = 2 s (sum_J s_j + h) =
+    2 (2b-1) ((2n-4) + h). h != 0 breaks the mirror symmetry
+    p[0][n] == p[1][4-n] that the 3-threshold kernel paths exploit — field
+    runs are gated to full-table backends (config.py).
     """
     p = np.empty((2, 5), dtype=np.float64)
     for b in range(2):
         for n in range(5):
-            de = 2.0 * (2 * b - 1) * (2 * n - 4)  # energy change of a flip
+            # energy change of a flip
+            de = 2.0 * (2 * b - 1) * ((2 * n - 4) + field)
             if temp > 0.0:
                 p[b, n] = math.exp(-de / temp)
             else:
@@ -48,14 +55,14 @@ def acceptance_probabilities(temp: float) -> np.ndarray:
     return p
 
 
-def threshold_table(temp: float) -> np.ndarray:
+def threshold_table(temp: float, field: float = 0.0) -> np.ndarray:
     """uint32 acceptance thresholds, flattened to shape (10,) = [b*5 + n].
 
     accept <=> draw <= thr. Full-accept classes (p >= 1) get 0xFFFFFFFF.
     Computed host-side in float64 once per temperature, so every backend
     consumes the identical integer table.
     """
-    p = acceptance_probabilities(temp)
+    p = acceptance_probabilities(temp, field)
     thr = np.minimum(p, 1.0) * 4294967295.0
     return np.rint(thr).astype(np.uint64).astype(np.uint32).reshape(10)
 

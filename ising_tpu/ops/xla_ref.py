@@ -55,6 +55,24 @@ def select_threshold(dst_bits, nsum, thr10):
                                jnp.where(e == 3, thr10[8], thr10[9])))
 
 
+def select_threshold_full(dst_bits, nsum, thr10):
+    """Per-site uint32 threshold from the FULL 2x5 table.
+
+    External-field runs: h != 0 breaks the thr10[0*5+n] == thr10[1*5+(4-n)]
+    mirror symmetry select_threshold exploits, so both own-bit rows are
+    selected explicitly (still select chains, not a gather — same TPU
+    rationale)."""
+    n = nsum.astype(jnp.int32)
+
+    def row(base):
+        return jnp.where(n == 0, thr10[base + 0],
+               jnp.where(n == 1, thr10[base + 1],
+               jnp.where(n == 2, thr10[base + 2],
+               jnp.where(n == 3, thr10[base + 3], thr10[base + 4]))))
+
+    return jnp.where(dst_bits.astype(jnp.int32) == 1, row(5), row(0))
+
+
 def neighbor_bit_sum(src, *, color: int, H: int,
                      src_up=None, src_dn=None,
                      src_left=None, src_right=None,
@@ -112,17 +130,21 @@ def neighbor_bit_sum(src, *, color: int, H: int,
 
 
 def sweep_color(dst, src, *, color: int, thr10, draws,
-                src_up=None, src_dn=None, jplanes=None, **maps):
+                src_up=None, src_dn=None, jplanes=None,
+                full_table: bool = False, **maps):
     """One Metropolis half-sweep: update every `dst` site of one color.
 
     dst/src: compact (H, C) uint8 bit planes (dst color / opposite color).
     thr10:   uint32 (10,) acceptance thresholds [own_bit*5 + neighbor_sum].
     draws:   uint32 (H, C) per-site random draws.
+    full_table: use the full 2x5 table (external-field runs, where the
+        h = 0 mirror symmetry does not hold).
     """
     H, C = dst.shape
     nsum = neighbor_bit_sum(src, color=color, H=H, src_up=src_up,
                             src_dn=src_dn, jplanes=jplanes, **maps)
-    thr = select_threshold(dst, nsum, thr10)
+    pick = select_threshold_full if full_table else select_threshold
+    thr = pick(dst, nsum, thr10)
     accept = (draws <= thr).astype(jnp.uint8)
     return dst ^ accept
 
@@ -167,6 +189,9 @@ class XlaBackend:
         if cfg.xsl:
             self._maps["col_idx_left"], self._maps["col_idx_right"] = \
                 make_col_wrap_maps(ch, cfg.xsl)
+        # External field: the full 2x5 table must be consumed per own-bit
+        # row (config gates field to this backend + u32 rng modes).
+        self.full_table = cfg.field != 0.0
         self.kplanes = plane_bits(cfg.rng)
         if self.kplanes:
             if ch % 32:
@@ -212,4 +237,4 @@ class XlaBackend:
                                     row0=row0, row_stride=C)
         return sweep_color(dst, src, color=color, thr10=thr10, draws=draws,
                            src_up=src_up, src_dn=src_dn, jplanes=jplanes,
-                           **self._maps)
+                           full_table=self.full_table, **self._maps)

@@ -106,6 +106,10 @@ class ParallelTempering:
             raise ValueError("rung temperatures must be > 0 (beta finite)")
         if sweeps_per_swap < 1:
             raise ValueError("sweeps_per_swap must be >= 1")
+        if cfg.field != 0.0:
+            # Swap decisions compare BOND energies only; a field term
+            # -h sum(s) differs per replica and would bias the exchange.
+            raise ValueError("parallel tempering supports field == 0 only")
         if replica_seeds is None:
             # Distinct odd-spaced streams; any distinct values do.
             replica_seeds = [cfg.seed + 1000003 * i

@@ -14,6 +14,8 @@ q() {  # q <name> <timeout_s> <cmd...>
 
 # 1. Bit-exactness gate (kernel + rng changes this round)
 q gate 3600 python -u scripts/verify_tpu.py || exit 1
+# 1b. external-field full-table gate (new in round 4; xla-only path)
+q gate_xla 1800 python -u scripts/verify_tpu.py --backend xla || exit 1
 # 2. hw-mode statistical gate (hw key derivation changed: a313ad4)
 q hwstats 1200 python -u scripts/verify_hw_stats.py || exit 1
 # 3. Official reproducible-tier bench captures (VERDICT item 6)

@@ -29,14 +29,14 @@ import numpy as np
 
 
 def run_case(jax, jnp, *, nrows, ncols, rng, steps, backend="packed",
-             j_prob=None, xsl=None, ysl=None, split=False):
+             j_prob=None, xsl=None, ysl=None, split=False, field=0.0):
     from ising_tpu import SimConfig, get_backend, lattice
     from ising_tpu.constants import BLACK, WHITE
     from ising_tpu.models import ising
 
     kw = dict(nrows=nrows, ncols=ncols, temp=1.8, seed=20260816, rng=rng,
-              j_prob=j_prob, xsl=xsl, ysl=ysl)
-    thr_np = ising.threshold_table(SimConfig(**kw).temperature)
+              j_prob=j_prob, xsl=xsl, ysl=ysl, field=field)
+    thr_np = ising.threshold_table(SimConfig(**kw).temperature, field)
 
     def trajectory(cfg, device):
         be = get_backend(cfg)
@@ -85,6 +85,8 @@ def run_case(jax, jnp, *, nrows, ncols, rng, steps, backend="packed",
     tag = f"{backend} {nrows}x{ncols} rng={rng}"
     if j_prob is not None:
         tag += f" J={j_prob}" + (" split" if split else "")
+    if field:
+        tag += f" h={field}"
     if xsl is not None:
         tag += f" repl={xsl}x{ysl}"
     status = "OK " if diffs == 0 else "FAIL"
@@ -99,7 +101,7 @@ def main(argv=None):
                     help="also verify the 16384^2 benchmark shape")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--backend", default="packed",
-                    choices=("packed", "dense", "bit1", "mxu"))
+                    choices=("packed", "dense", "bit1", "mxu", "xla"))
     args = ap.parse_args(argv)
 
     import jax
@@ -146,6 +148,16 @@ def main(argv=None):
             # sub-lattice replica wrap (dual lane roll + edge-array rows)
             dict(nrows=64, ncols=8192, rng="philox", xsl=64, ysl=16),
             dict(nrows=64, ncols=8192, rng="threefry13b", xsl=64, ysl=16),
+        ]
+    elif args.backend == "xla":
+        # Compiled-on-TPU xla backend vs the same backend on host CPU:
+        # covers the external-field full-table select path (field is
+        # xla-only; the Pallas gates cannot carry it).
+        cases = [
+            dict(nrows=64, ncols=2048, rng="threefry13", field=0.75),
+            dict(nrows=64, ncols=2048, rng="chacha8", field=-1.25),
+            dict(nrows=64, ncols=2048, rng="threefry13", field=0.75,
+                 j_prob=0.3),
         ]
     else:
         # mxu needs nrows and ncols/2 to be multiples of 128.
