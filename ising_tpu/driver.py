@@ -227,8 +227,12 @@ class Simulation:
         else:
             n_up, n_dn = observables.count_spins(*self.bits())
         m = abs(n_up - n_dn) / (n_up + n_dn)
-        return {"step": self.step, "magnetization": m,
-                "up": n_up, "down": n_dn}
+        out = {"step": self.step, "magnetization": m,
+               "up": n_up, "down": n_dn}
+        if self.cfg.field:
+            # An external field breaks the +-m symmetry |m| relies on.
+            out["m_signed"] = (n_up - n_dn) / (n_up + n_dn)
+        return out
 
     # -- stepping ----------------------------------------------------------
 
@@ -266,6 +270,26 @@ class Simulation:
             self.backend.temperature = self.temp
             rebuild = True
         if rebuild:
+            self.shardings, self._step_n = make_sharded_stepper(
+                self.cfg, self.backend, mesh=self.shardings["mesh"],
+                jplanes=self._jplanes)
+
+    def set_field(self, field: float):
+        """Change the uniform external field mid-run (hysteresis/field-scan
+        protocols). Like the temperature ramp this only swaps the
+        threshold-table argument — except when h crosses zero in either
+        direction, which flips the xla backend's static full-table select
+        (a trace-time flag): the stepper is then rebuilt. Validation (xla
+        backend + u32 rng for h != 0) reuses SimConfig's."""
+        field = float(field)
+        if field == self.cfg.field:
+            return
+        was = self.cfg.field != 0.0
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, field=field)
+        self._thr = jnp.asarray(ising.threshold_table(self.temp, field))
+        if (field != 0.0) != was and hasattr(self.backend, "full_table"):
+            self.backend.full_table = field != 0.0
             self.shardings, self._step_n = make_sharded_stepper(
                 self.cfg, self.backend, mesh=self.shardings["mesh"],
                 jplanes=self._jplanes)

@@ -44,6 +44,13 @@ def test_spin_glass_pt_tiny():
     assert "pair acceptance:" in out and "cold rung" in out
 
 
+def test_hysteresis_tiny():
+    out = _run_path("examples/hysteresis.py",
+                    ["--size", "16", "--hmax", "1.0", "--steps", "5",
+                     "--sweeps", "4"])
+    assert "loop area" in out
+
+
 def test_bench_disorder_cpu():
     import json
     import bench

@@ -174,6 +174,30 @@ def test_field_checkpoint_resume(tmp_path):
                                   np.asarray(res.bits()[1]))
 
 
+def test_set_field_matches_fresh_sim():
+    """set_field (incl. the zero-crossing stepper rebuild) continues
+    exactly like a sim constructed at the new field from the same state."""
+    base = dict(nrows=8, ncols=16, temp=2.0, seed=13, backend="xla")
+    s = Simulation(SimConfig(field=0.0, **base))
+    s.advance(2)
+    state = tuple(np.asarray(p).copy() for p in s.bits())
+    s.set_field(0.7)  # 0 -> nonzero: flips the full-table select
+    s.advance(3)
+    f = Simulation(SimConfig(field=0.7, **base), state=state, step0=2)
+    f.advance(3)
+    np.testing.assert_array_equal(np.asarray(s.bits()[0]),
+                                  np.asarray(f.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(s.bits()[1]),
+                                  np.asarray(f.bits()[1]))
+    # and back to zero (rebuilds again, mirror path)
+    s.set_field(0.0)
+    s.advance(2)
+    f.set_field(0.0)
+    f.advance(2)
+    np.testing.assert_array_equal(np.asarray(s.bits()[0]),
+                                  np.asarray(f.bits()[0]))
+
+
 def test_field_polarizes_magnetization():
     """Physics smoke: h > 0 above Tc drives a clearly positive mean spin."""
     cfg = SimConfig(nrows=32, ncols=32, temp=3.0, seed=8, backend="xla",
