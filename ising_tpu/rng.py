@@ -54,6 +54,7 @@ PHILOX_ROUNDS = 10
 TAG_SWEEP = 0x000
 TAG_INIT = 0x100
 TAG_HAMILT = 0x200
+TAG_CLUSTER = 0x300  # Swendsen-Wang bond draws / cluster coins (cluster.py)
 
 # rng-mode string -> (family, rounds, plane_bits). The reduced-round
 # variants are the minimum round counts the Random123 paper (Salmon et al.,

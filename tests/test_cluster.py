@@ -1,0 +1,150 @@
+"""Swendsen-Wang cluster updates: labeling vs an independent union-find,
+flip coherence, determinism, and equilibrium physics (Onsager energy —
+the SAME fixed point the Metropolis tiers are validated against, reached
+by a completely different dynamics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ising_tpu import SimConfig, analysis
+from ising_tpu.cluster import (SwendsenWang, bond_threshold, label_clusters,
+                               open_bonds, sw_step)
+from ising_tpu.models import ising
+
+
+def uf_labels(open_r, open_d):
+    """Union-find ground truth: min site id per component, periodic."""
+    Y, X = open_r.shape
+    parent = list(range(Y * X))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for y in range(Y):
+        for x in range(X):
+            if open_r[y, x]:
+                union(y * X + x, y * X + (x + 1) % X)
+            if open_d[y, x]:
+                union(y * X + x, ((y + 1) % Y) * X + x)
+    return np.array([find(i) for i in range(Y * X)],
+                    np.int32).reshape(Y, X)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("p", [0.2, 0.5, 0.8])
+def test_label_clusters_match_union_find(seed, p):
+    rs = np.random.RandomState(seed)
+    Y, X = 12, 16
+    open_r = rs.rand(Y, X) < p
+    open_d = rs.rand(Y, X) < p
+    got = np.asarray(label_clusters(jnp.asarray(open_r),
+                                    jnp.asarray(open_d)))
+    np.testing.assert_array_equal(got, uf_labels(open_r, open_d))
+
+
+def test_label_clusters_wraparound_single_cluster():
+    # All bonds open: one cluster, label 0 everywhere (periodic wrap).
+    o = jnp.ones((8, 8), bool)
+    np.testing.assert_array_equal(np.asarray(label_clusters(o, o)), 0)
+    # No bonds open: every site is its own cluster.
+    z = jnp.zeros((8, 8), bool)
+    np.testing.assert_array_equal(
+        np.asarray(label_clusters(z, z)),
+        np.arange(64, dtype=np.int32).reshape(8, 8))
+
+
+def test_sw_step_flips_whole_clusters():
+    """Every site of a bond-connected cluster must flip identically."""
+    from ising_tpu.rng import TAG_CLUSTER, color_draws
+    cfg = SimConfig(nrows=16, ncols=16, temp=2.27, seed=7, backend="xla")
+    sw = SwendsenWang(cfg)
+    pre = np.asarray(sw.full)
+    thr = bond_threshold(cfg.temperature)
+    dr = color_draws(cfg.seed, 16, 16, step=jnp.uint32(0),
+                     tag=TAG_CLUSTER | 0, row_stride=16)
+    dd = color_draws(cfg.seed, 16, 16, step=jnp.uint32(0),
+                     tag=TAG_CLUSTER | 1, row_stride=16)
+    o_r, o_d = open_bonds(jnp.asarray(pre), dr, dd, thr)
+    labels = np.asarray(label_clusters(o_r, o_d))
+    sw.advance(1)
+    flip = pre ^ np.asarray(sw.full)
+    for lab in np.unique(labels):
+        vals = np.unique(flip[labels == lab])
+        assert vals.size == 1, f"cluster {lab} flipped incoherently"
+    # and the aligned-bond invariant: open bonds never join anti-aligned
+    assert not np.any(np.asarray(o_r) & (pre != np.roll(pre, -1, axis=1)))
+
+
+def test_sw_deterministic_and_jit_stable():
+    cfg = SimConfig(nrows=12, ncols=16, temp=2.0, seed=99, backend="xla")
+    a, b = SwendsenWang(cfg), SwendsenWang(cfg)
+    a.advance(5), b.advance(5)
+    np.testing.assert_array_equal(np.asarray(a.full), np.asarray(b.full))
+    # eager step == jitted step
+    c = SwendsenWang(cfg)
+    full = c.full
+    for s in range(5):
+        full = sw_step(full, c._thr, cfg.seed, jnp.uint32(s))
+    np.testing.assert_array_equal(np.asarray(a.full), np.asarray(full))
+
+
+def test_bond_threshold_limits():
+    assert bond_threshold(0.0) == 0xFFFFFFFF
+    assert bond_threshold(-1.0) == 0xFFFFFFFF
+    p = 1.0 - np.exp(-2.0 / 2.5)
+    assert bond_threshold(2.5) == int(np.rint(p * 4294967295.0))
+
+
+def test_config_fencing():
+    with pytest.raises(ValueError, match="ferromagnetic"):
+        SwendsenWang(SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla",
+                               j_prob=0.3))
+    with pytest.raises(ValueError, match="field"):
+        SwendsenWang(SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla",
+                               field=0.5))
+    with pytest.raises(ValueError, match="single-device"):
+        SwendsenWang(SimConfig(nrows=16, ncols=16, temp=2.0, backend="xla",
+                               ndev=8))
+    with pytest.raises(ValueError, match="decoded"):
+        SwendsenWang(SimConfig(nrows=8, ncols=64, temp=2.0,
+                               backend="bit1"))
+
+
+def test_sw_equilibrium_energy_matches_onsager():
+    """SW must converge to the same thermal state as Metropolis: E/N vs
+    the exact Onsager energy, both phases."""
+    for T, tol in ((3.5, 0.03), (1.5, 0.02)):
+        sw = SwendsenWang(SimConfig(nrows=64, ncols=64, temp=T, seed=5,
+                                    backend="xla"))
+        sw.advance(30)
+        es = []
+        for _ in range(40):
+            sw.advance(2)
+            es.append(sw.energy())
+        got = float(np.mean(es))
+        want = ising.onsager_energy(T)
+        assert abs(got - want) < tol, (T, got, want)
+
+
+def test_sw_decorrelates_fast_at_tc():
+    """The point of the feature: tau_int(|m|) at Tc stays O(1) SW steps
+    (Metropolis at the same size is an order of magnitude slower)."""
+    from ising_tpu.constants import TCRIT
+    sw = SwendsenWang(SimConfig(nrows=32, ncols=32, temp=TCRIT, seed=17,
+                                backend="xla"))
+    sw.advance(20)
+    ms = []
+    for _ in range(300):
+        sw.advance(1)
+        ms.append(sw.measure()["magnetization"])
+    tau, _ = analysis.autocorrelation_time(ms)
+    assert tau < 6.0, tau

@@ -44,6 +44,13 @@ def test_spin_glass_pt_tiny():
     assert "pair acceptance:" in out and "cold rung" in out
 
 
+def test_cluster_vs_metropolis_tiny():
+    out = _run_path("examples/cluster_vs_metropolis.py",
+                    ["--size", "16", "--warmup", "20", "--samples", "64",
+                     "--sw-samples", "32"])
+    assert "Swendsen-Wang" in out and "speedup" in out
+
+
 def test_hysteresis_tiny():
     out = _run_path("examples/hysteresis.py",
                     ["--size", "16", "--hmax", "1.0", "--steps", "5",
