@@ -14,19 +14,23 @@ TPU-native design — no union-find, no atomics, no host round trips:
     integer-compare discipline as the Metropolis accept path, so whole
     trajectories are bit-reproducible for a given seed.
   * Cluster labeling: iterative min-label propagation over open bonds
-    (pure stencil min — rolls and selects, perfectly vectorizable) with a
-    pointer-jumping contraction (label <- label[label], one gather) each
-    iteration, inside ONE lax.while_loop that exits when labels stop
-    changing. Propagation alone needs O(cluster diameter) iterations; the
-    jump makes label trees collapse geometrically, and even the stencil
-    bound beats Metropolis asymptotically at Tc: O(L) cheap iterations
-    per decorrelation vs O(L^2.17) full sweeps.
+    inside ONE lax.while_loop that exits when labels stop changing,
+    composing three monotone contractions (see label_clusters): the
+    stencil min (rolls+selects), segmented row/column min-scans that move
+    labels across whole straight open-bond runs per iteration
+    (associative scans — log-depth shifts), and a pointer-jumping pass
+    (label <- label[label], one gather). Measured at Tc equilibrium the
+    composition converges in ~34-54 iterations at L=256-1024 (nearly
+    size-stable) vs the stencil's O(cluster diameter) ~ 2L; even that
+    bound beats Metropolis asymptotically at Tc (O(L) cheap iterations
+    per decorrelation vs O(L^2.17) full sweeps).
   * Cluster flip: every site draws the SAME coin as its cluster root —
     one elementwise Threefry of the root id under a per-step stream key.
     No per-cluster lists ever materialize.
 
 Scope (fenced in __init__): ferromagnetic J = +1 (frustrated +-J has no
-FK representation), zero field, full-lattice wrap, single device. Labels
+FK representation), full-lattice wrap, single device. A uniform field is
+supported through the ghost-spin construction (sw_step). Labels
 are int32 site ids, so nrows * ncols < 2^31. State is the full (Y, X)
 uint8 bit lattice — the probe regime is "fits decoded", i.e. anything up
 to ~2^30 spins; the Metropolis tiers remain the giant-lattice path.
@@ -46,13 +50,15 @@ from .lattice import compact_to_full, full_to_compact, init_bits
 from .rng import TAG_CLUSTER, color_draws, threefry2x32, threefry_stream_key
 
 
-def bond_threshold(temp: float) -> int:
-    """uint32 open-bond threshold: open <=> draw <= thr, p = 1 - exp(-2/T).
+def bond_threshold(temp: float, coupling: float = 1.0) -> int:
+    """uint32 open-bond threshold: open <=> draw <= thr,
+    p = 1 - exp(-2*coupling/T) (coupling = J for spin-spin bonds, |h| for
+    the ghost bonds of a uniform field).
 
     T <= 0 degenerates to p = 1 (every aligned pair bonds: clusters are
     the geometric domains). Host-side float64, like ising.threshold_table.
     """
-    p = 1.0 if temp <= 0 else 1.0 - math.exp(-2.0 / temp)
+    p = 1.0 if temp <= 0 else 1.0 - math.exp(-2.0 * coupling / temp)
     return int(np.rint(min(p, 1.0) * 4294967295.0))
 
 
@@ -66,14 +72,50 @@ def open_bonds(full, draws_r, draws_d, thr):
     return open_r, open_d
 
 
-def label_clusters(open_r, open_d):
+def _seg_min_op(a, b):
+    """Associative segmented-min: (running min, segment-open-through)."""
+    (m1, a1), (m2, a2) = a, b
+    return jnp.where(a2, jnp.minimum(m1, m2), m2), a1 & a2
+
+
+def _seg_scan_axis(lab, open_fwd, axis: int):
+    """Min-label propagation along WHOLE open-bond runs of one axis, both
+    directions, as two associative scans (log-depth shifts — no gathers).
+    Non-periodic: the wrap bond is covered by the stencil step; since the
+    iteration is a monotone min converging to a fixpoint, skipping wrap
+    here costs at most extra iterations, never correctness."""
+    gate_f = jnp.roll(open_fwd, 1, axis=axis)  # bond (i-1, i), forward
+    mf, _ = lax.associative_scan(_seg_min_op, (lab, gate_f), axis=axis)
+    rev = lambda x: jnp.flip(x, axis=axis)
+    mb, _ = lax.associative_scan(_seg_min_op, (rev(lab), rev(open_fwd)),
+                                 axis=axis)
+    return jnp.minimum(mf, rev(mb))
+
+
+def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1):
     """int32 (Y, X) plane of per-site cluster labels (= min site id of the
     connected component under the open bonds, periodic in both axes).
 
-    Min-label stencil propagation + pointer jumping in one while_loop;
-    every iteration is O(N) vector work and one O(N) gather. Exits when a
-    full iteration changes nothing (guaranteed: labels are non-increasing
-    and bounded below by the cluster min)."""
+    One lax.while_loop that exits when labels stop changing (guaranteed:
+    labels are monotone non-increasing, bounded by the cluster min). Each
+    iteration composes three monotone contractions, all converging to the
+    SAME fixpoint — the static flags only trade iteration count against
+    per-iteration cost:
+
+      * stencil min: pull labels across every open bond (rolls+selects —
+        the cheap baseline; alone it needs O(cluster diameter) ~ 2L
+        iterations at Tc, measured 299/298/466 at L=256/512/1024);
+      * segmented row+column scans (scans=True): propagate along whole
+        straight open-bond runs via associative scans (log-depth shifts);
+      * pointer jumps (jumps=k): label <- label[label], one O(N) gather
+        each, collapsing already-built label chains.
+
+    Measured iteration counts at Tc equilibrium (CPU, = TPU: same math):
+    scans+1 jump 54/35/34 at L=256/512/1024 — essentially size-stable —
+    vs hundreds for the pure stencil. CPU wall time favors the pure
+    stencil below L~1024 (gathers/scans are expensive there); the default
+    is the asymptotically safe scans+jump — benchmark on your target with
+    scripts/experiments/bench_cluster.py before tuning."""
     Y, X = open_r.shape
     ids = jnp.arange(Y * X, dtype=jnp.int32).reshape(Y, X)
 
@@ -91,9 +133,13 @@ def label_clusters(open_r, open_d):
         # bonds open would LOSE its label and the loop could cycle).
         new = jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
                                            jnp.minimum(l_d, l_u)))
-        # Pointer jump: new[i] is a same-cluster site id <= i, so chasing
-        # it one hop stays in-cluster and is monotone — label trees halve.
-        new = jnp.take(new.reshape(-1), new)
+        if scans:
+            new = jnp.minimum(new, _seg_scan_axis(new, open_r, 1))
+            new = jnp.minimum(new, _seg_scan_axis(new, open_d, 0))
+        for _ in range(jumps):
+            # new[i] is a same-cluster site id <= i, so chasing it one
+            # hop stays in-cluster and is monotone.
+            new = jnp.take(new.reshape(-1), new)
         return new, jnp.any(new != lab)
 
     lab, _ = lax.while_loop(lambda s: s[1], body,
@@ -111,16 +157,45 @@ def cluster_coins(labels, seed: int, step):
     return (x0 >> 31).astype(jnp.uint8)
 
 
-def sw_step(full, thr, seed: int, step):
-    """One Swendsen-Wang update of the full (Y, X) uint8 bit lattice."""
+def ghost_bonded_clusters(labels, ghost):
+    """uint8 (Y, X): 1 where the site's cluster contains ANY ghost-bonded
+    site. One scatter-max onto the root ids, one gather back — the
+    whole-cluster OR without per-cluster lists."""
+    flat = labels.reshape(-1)
+    per_root = jnp.zeros(flat.shape, jnp.uint8).at[flat].max(
+        ghost.reshape(-1).astype(jnp.uint8))
+    return jnp.take(per_root, labels)
+
+
+def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
+            thr_ghost=None):
+    """One Swendsen-Wang update of the full (Y, X) uint8 bit lattice.
+
+    A uniform field enters through the standard ghost-spin construction:
+    every site whose spin aligns with sign(h) bonds to a fixed virtual
+    ghost spin with p = 1 - exp(-2|h|/T) (thr_ghost); clusters attached
+    to the ghost keep their orientation, all others flip by their root's
+    coin. h = 0 reduces to the plain algorithm (no ghost stream drawn).
+    """
     Y, X = full.shape
     draws_r = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 0,
                           row_stride=X)
     draws_d = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 1,
                           row_stride=X)
     open_r, open_d = open_bonds(full, draws_r, draws_d, thr)
-    labels = label_clusters(open_r, open_d)
-    return full ^ cluster_coins(labels, seed, step)
+    # Contraction choice by size: below ~2^16 spins cluster diameters are
+    # small enough that the cheap stencil+jump iterations win; above, the
+    # scans' near-size-stable iteration count dominates (measured — see
+    # label_clusters and scripts/experiments/bench_cluster.py).
+    labels = label_clusters(open_r, open_d, scans=Y * X >= 65536)
+    flip = cluster_coins(labels, seed, step)
+    if field != 0.0:
+        draws_g = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 3,
+                              row_stride=X)
+        aligned = full == jnp.uint8(1 if field > 0 else 0)
+        ghost = aligned & (draws_g <= jnp.uint32(thr_ghost))
+        flip = flip & (1 - ghost_bonded_clusters(labels, ghost))
+    return full ^ flip
 
 
 class SwendsenWang:
@@ -140,9 +215,6 @@ class SwendsenWang:
             raise ValueError("Swendsen-Wang needs a ferromagnetic "
                              "Hamiltonian (frustrated +-J has no FK "
                              "cluster representation)")
-        if cfg.field != 0.0:
-            raise ValueError("Swendsen-Wang supports field == 0 only "
-                             "(a field breaks the cluster flip symmetry)")
         if cfg.xsl is not None or cfg.ndev != 1:
             raise ValueError("cluster updates are single-device, "
                              "full-lattice wrap (probe scope)")
@@ -155,17 +227,45 @@ class SwendsenWang:
         if state is None:
             state = init_bits(cfg.seed, cfg.nrows, cfg.ncols)
         self.full = jnp.asarray(compact_to_full(*state))
+        self._set_thresholds()
+        self._build_step()
+
+    def _set_thresholds(self):
         self._thr = jnp.uint32(bond_threshold(self.temp))
+        self._thr_ghost = jnp.uint32(
+            bond_threshold(self.temp, abs(self.cfg.field)))
+
+    def _build_step(self):
+        # Only the SIGN of h is trace-time (it selects the ghost
+        # alignment); its magnitude rides in the traced ghost threshold,
+        # so field scans at fixed sign never recompile.
+        h = self.cfg.field
+        sgn = 1.0 if h > 0 else (-1.0 if h < 0 else 0.0)
         self._step_jit = jax.jit(
-            lambda f, t, s: sw_step(f, t, self.cfg.seed, s))
+            lambda f, t, tg, s: sw_step(f, t, self.cfg.seed, s,
+                                        field=sgn, thr_ghost=tg))
 
     def set_temperature(self, temp: float):
         self.temp = float(temp)
-        self._thr = jnp.uint32(bond_threshold(self.temp))
+        self._set_thresholds()
+
+    def set_field(self, field: float):
+        """Change h mid-run; recompiles only when sign(h) changes (the
+        ghost alignment is a trace-time constant). Config validation
+        (xla + u32 rng) reuses SimConfig's via dataclasses.replace."""
+        import dataclasses
+        old = self.cfg.field
+        if float(field) == old:
+            return
+        self.cfg = dataclasses.replace(self.cfg, field=float(field))
+        self._set_thresholds()
+        if (field > 0, field < 0) != (old > 0, old < 0):
+            self._build_step()
 
     def advance(self, nsteps: int):
         for _ in range(nsteps):
             self.full = self._step_jit(self.full, self._thr,
+                                       self._thr_ghost,
                                        jnp.uint32(self.step))
             self.step += 1
 
@@ -177,9 +277,17 @@ class SwendsenWang:
     def measure(self):
         from . import observables
         n_up, n_dn = observables.count_spins(*self.bits())
-        return {"step": self.step, "magnetization":
-                abs(n_up - n_dn) / (n_up + n_dn), "up": n_up, "down": n_dn}
+        out = {"step": self.step, "magnetization":
+               abs(n_up - n_dn) / (n_up + n_dn), "up": n_up, "down": n_dn}
+        if self.cfg.field:
+            out["m_signed"] = (n_up - n_dn) / (n_up + n_dn)
+        return out
 
     def energy(self) -> float:
         from . import observables
-        return observables.energy_per_spin(*self.bits())
+        e = observables.energy_per_spin(*self.bits())
+        h = self.cfg.field
+        if h:
+            n_up, n_dn = observables.count_spins(*self.bits())
+            e -= h * (n_up - n_dn) / self.cfg.nspins
+        return e

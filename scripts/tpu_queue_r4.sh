@@ -31,4 +31,6 @@ for n in c8b c4b pk8 hw; do
 done
 # 5. Storage-domain checkpoint speedup evidence (RESULTS.md update)
 q ckpt_scale 5400 python -u scripts/verify_ckpt_scale.py
+# 6. Swendsen-Wang on-chip timing + label-contraction variant choice
+q cluster 3600 python -u scripts/experiments/bench_cluster.py
 echo "=== QUEUE DONE $(date -u +%H:%M:%S) ===" | tee -a /tmp/r4q_status.log

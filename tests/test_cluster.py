@@ -46,9 +46,13 @@ def test_label_clusters_match_union_find(seed, p):
     Y, X = 12, 16
     open_r = rs.rand(Y, X) < p
     open_d = rs.rand(Y, X) < p
-    got = np.asarray(label_clusters(jnp.asarray(open_r),
-                                    jnp.asarray(open_d)))
-    np.testing.assert_array_equal(got, uf_labels(open_r, open_d))
+    want = uf_labels(open_r, open_d)
+    # every contraction composition must reach the same fixpoint
+    for kw in (dict(), dict(scans=False, jumps=0), dict(scans=False),
+               dict(scans=True, jumps=0), dict(jumps=2)):
+        got = np.asarray(label_clusters(jnp.asarray(open_r),
+                                        jnp.asarray(open_d), **kw))
+        np.testing.assert_array_equal(got, want, err_msg=str(kw))
 
 
 def test_label_clusters_wraparound_single_cluster():
@@ -108,9 +112,6 @@ def test_config_fencing():
     with pytest.raises(ValueError, match="ferromagnetic"):
         SwendsenWang(SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla",
                                j_prob=0.3))
-    with pytest.raises(ValueError, match="field"):
-        SwendsenWang(SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla",
-                               field=0.5))
     with pytest.raises(ValueError, match="single-device"):
         SwendsenWang(SimConfig(nrows=16, ncols=16, temp=2.0, backend="xla",
                                ndev=8))
@@ -133,6 +134,82 @@ def test_sw_equilibrium_energy_matches_onsager():
         got = float(np.mean(es))
         want = ising.onsager_energy(T)
         assert abs(got - want) < tol, (T, got, want)
+
+
+def test_ghost_clusters_never_flip():
+    """Ghost-bonded clusters must keep their orientation exactly."""
+    from ising_tpu.cluster import ghost_bonded_clusters
+    from ising_tpu.rng import TAG_CLUSTER, color_draws
+    cfg = SimConfig(nrows=16, ncols=16, temp=2.5, seed=77, backend="xla",
+                    field=0.8)
+    sw = SwendsenWang(cfg)
+    pre = np.asarray(sw.full)
+    # reconstruct the step's internals for step 0
+    dr = color_draws(cfg.seed, 16, 16, step=jnp.uint32(0),
+                     tag=TAG_CLUSTER | 0, row_stride=16)
+    dd = color_draws(cfg.seed, 16, 16, step=jnp.uint32(0),
+                     tag=TAG_CLUSTER | 1, row_stride=16)
+    dg = color_draws(cfg.seed, 16, 16, step=jnp.uint32(0),
+                     tag=TAG_CLUSTER | 3, row_stride=16)
+    o_r, o_d = open_bonds(jnp.asarray(pre), dr, dd,
+                          bond_threshold(cfg.temperature))
+    labels = label_clusters(o_r, o_d)
+    ghost = (jnp.asarray(pre) == 1) & (
+        dg <= jnp.uint32(bond_threshold(cfg.temperature, 0.8)))
+    frozen = np.asarray(ghost_bonded_clusters(labels, ghost)).astype(bool)
+    assert frozen.any()  # the construction must actually engage
+    sw.advance(1)
+    flip = pre ^ np.asarray(sw.full)
+    assert not np.any(flip[frozen])
+    # and whole-cluster coherence still holds for the free clusters
+    lab_np = np.asarray(labels)
+    for lab in np.unique(lab_np):
+        assert np.unique(flip[lab_np == lab]).size == 1
+
+
+def test_sw_field_reversal_trajectory_symmetry():
+    """Complement the start state and negate h: bonds, labels and coins
+    are all invariant, so the trajectory complements bit for bit."""
+    from ising_tpu.lattice import init_bits
+    base = dict(nrows=12, ncols=16, temp=2.3, seed=9, backend="xla")
+    b0, w0 = init_bits(9, 12, 16)
+    sp = SwendsenWang(SimConfig(field=0.9, **base), state=(b0, w0))
+    sn = SwendsenWang(SimConfig(field=-0.9, **base),
+                      state=(b0 ^ jnp.uint8(1), w0 ^ jnp.uint8(1)))
+    sp.advance(4), sn.advance(4)
+    np.testing.assert_array_equal(np.asarray(sp.full) ^ 1,
+                                  np.asarray(sn.full))
+
+
+def test_sw_field_equilibrium_matches_metropolis():
+    """Two unrelated dynamics, one ensemble: SW-with-ghost and
+    field-Metropolis must agree on m(T, h)."""
+    from ising_tpu.driver import Simulation
+    cfg = SimConfig(nrows=32, ncols=32, temp=3.0, seed=21, backend="xla",
+                    field=0.5)
+    sw = SwendsenWang(cfg)
+    sw.advance(30)
+    met = Simulation(cfg)
+    met.advance(150)
+    ms_sw, ms_met = [], []
+    for _ in range(60):
+        sw.advance(2)
+        ms_sw.append(sw.measure()["m_signed"])
+        met.advance(5)
+        ms_met.append(met.measure()["m_signed"])
+    assert abs(np.mean(ms_sw) - np.mean(ms_met)) < 0.03, \
+        (np.mean(ms_sw), np.mean(ms_met))
+    # field-aware energies agree between the drivers too
+    assert abs(sw.energy() - met.energy()) < 0.2
+
+
+def test_sw_set_field_scan_no_sign_change():
+    sw = SwendsenWang(SimConfig(nrows=16, ncols=16, temp=2.5, seed=4,
+                                backend="xla", field=0.2))
+    sw.advance(2)
+    sw.set_field(0.8)  # same sign: no rebuild, just a new ghost threshold
+    sw.advance(2)
+    assert sw.measure()["m_signed"] is not None
 
 
 def test_sw_decorrelates_fast_at_tc():
