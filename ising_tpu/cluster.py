@@ -29,8 +29,10 @@ TPU-native design — no union-find, no atomics, no host round trips:
     No per-cluster lists ever materialize.
 
 Scope (fenced in __init__): ferromagnetic J = +1 (frustrated +-J has no
-FK representation), full-lattice wrap, single device. A uniform field is
-supported through the ghost-spin construction (sw_step). Labels
+FK representation), full-lattice wrap. A uniform field is supported
+through the ghost-spin construction (sw_step); multi-device runs shard
+rows and stay bit-identical to 1 device (GSPMD handles the halo/gather
+collectives). Labels
 are int32 site ids, so nrows * ncols < 2^31. State is the full (Y, X)
 uint8 bit lattice — the probe regime is "fits decoded", i.e. anything up
 to ~2^30 spins; the Metropolis tiers remain the giant-lattice path.
@@ -215,9 +217,10 @@ class SwendsenWang:
             raise ValueError("Swendsen-Wang needs a ferromagnetic "
                              "Hamiltonian (frustrated +-J has no FK "
                              "cluster representation)")
-        if cfg.xsl is not None or cfg.ndev != 1:
-            raise ValueError("cluster updates are single-device, "
-                             "full-lattice wrap (probe scope)")
+        if cfg.xsl is not None:
+            raise ValueError("cluster updates are full-lattice wrap only "
+                             "(sub-lattice replicas have no shared "
+                             "percolation structure)")
         if cfg.nrows * cfg.ncols >= 2 ** 31:
             raise ValueError("labels are int32 site ids: needs "
                              "nrows * ncols < 2^31")
@@ -227,6 +230,17 @@ class SwendsenWang:
         if state is None:
             state = init_bits(cfg.seed, cfg.nrows, cfg.ncols)
         self.full = jnp.asarray(compact_to_full(*state))
+        if cfg.ndev > 1:
+            # Row-shard the plane; every op in sw_step is GSPMD-
+            # transparent (rolls/scans lower to collective permutes, the
+            # jump gather to an all-gather — fine at decoded-plane scale)
+            # and trajectories are bit-identical to 1 device
+            # (tests/test_cluster.py).
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel.mesh import ROW_AXIS, make_mesh
+            self.full = jax.device_put(
+                self.full, NamedSharding(make_mesh(cfg.ndev),
+                                         PartitionSpec(ROW_AXIS, None)))
         self._set_thresholds()
         self._build_step()
 

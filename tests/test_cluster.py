@@ -112,9 +112,9 @@ def test_config_fencing():
     with pytest.raises(ValueError, match="ferromagnetic"):
         SwendsenWang(SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla",
                                j_prob=0.3))
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="full-lattice"):
         SwendsenWang(SimConfig(nrows=16, ncols=16, temp=2.0, backend="xla",
-                               ndev=8))
+                               xsl=8, ysl=8))
     with pytest.raises(ValueError, match="decoded"):
         SwendsenWang(SimConfig(nrows=8, ncols=64, temp=2.0,
                                backend="bit1"))
@@ -210,6 +210,21 @@ def test_sw_set_field_scan_no_sign_change():
     sw.set_field(0.8)  # same sign: no rebuild, just a new ghost threshold
     sw.advance(2)
     assert sw.measure()["m_signed"] is not None
+
+
+def test_sw_sharded_matches_single():
+    """8-device row-sharded SW trajectory bit-identical to 1 device
+    (rolls/scans/gather are GSPMD-transparent)."""
+    base = dict(nrows=32, ncols=32, temp=2.269185, seed=7, backend="xla")
+    s1 = SwendsenWang(SimConfig(ndev=1, **base))
+    s8 = SwendsenWang(SimConfig(ndev=8, **base))
+    s1.advance(4), s8.advance(4)
+    np.testing.assert_array_equal(np.asarray(s1.full), np.asarray(s8.full))
+    # with a field too (ghost scatter-max + gather under sharding)
+    f1 = SwendsenWang(SimConfig(ndev=1, field=0.6, **base))
+    f8 = SwendsenWang(SimConfig(ndev=8, field=0.6, **base))
+    f1.advance(3), f8.advance(3)
+    np.testing.assert_array_equal(np.asarray(f1.full), np.asarray(f8.full))
 
 
 def test_sw_decorrelates_fast_at_tc():
