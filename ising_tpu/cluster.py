@@ -288,6 +288,18 @@ class SwendsenWang:
         storage Simulation(state=...) accepts, for hybrid protocols."""
         return full_to_compact(self.full)
 
+    def fourier_partials(self):
+        """Exact (per-row, per-column) up counts, int64 numpy — the same
+        surface as Simulation.fourier_partials (analysis.kmin_mag2 /
+        correlation_length finish xi host-side). With SW's O(1)
+        decorrelation at Tc this is the fast path to xi_L/L crossings."""
+        from . import observables
+        b, w = self.bits()
+        rows = observables.row_up_counts(b, w)
+        cols = observables.col_up_counts(b, w)
+        r, c = jax.device_get((rows, cols))
+        return np.asarray(r, np.int64), np.asarray(c, np.int64)
+
     def measure(self):
         from . import observables
         n_up, n_dn = observables.count_spins(*self.bits())

@@ -44,6 +44,13 @@ def test_spin_glass_pt_tiny():
     assert "pair acceptance:" in out and "cold rung" in out
 
 
+def test_xi_scan_tiny():
+    out = _run_path("examples/xi_scan.py",
+                    ["--sizes", "8,16", "--ntemps", "3", "--warmup", "5",
+                     "--samples", "12"])
+    assert "crossing estimate" in out
+
+
 def test_cluster_vs_metropolis_tiny():
     out = _run_path("examples/cluster_vs_metropolis.py",
                     ["--size", "16", "--warmup", "20", "--samples", "64",
