@@ -162,11 +162,12 @@ class SimConfig:
         if self.j_prob is not None and not (0.0 <= self.j_prob <= 1.0):
             raise ValueError("j_prob must be in [0, 1]")
         if self.field != 0.0:
-            if self.backend != "xla":
+            if self.backend not in ("xla", "dense"):
                 raise ValueError(
-                    "external field is supported on the xla backend only "
-                    "(the Pallas tiers' 3-threshold accept paths assume "
-                    "the h = 0 mirror symmetry)")
+                    "external field is supported on the xla and dense "
+                    "backends only (the packed/bit1/mxu accept paths "
+                    "assume the h = 0 mirror symmetry; xla selects the "
+                    "full table, dense always indexes all 10 classes)")
             from .rng import plane_bits
             if self.rng == "hw" or plane_bits(self.rng):
                 raise ValueError(

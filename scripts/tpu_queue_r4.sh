@@ -14,8 +14,10 @@ q() {  # q <name> <timeout_s> <cmd...>
 
 # 1. Bit-exactness gate (kernel + rng changes this round)
 q gate 3600 python -u scripts/verify_tpu.py || exit 1
-# 1b. external-field full-table gate (new in round 4; xla-only path)
+# 1b. external-field gates (new in round 4: xla full-table select;
+# dense already indexes all 10 classes)
 q gate_xla 1800 python -u scripts/verify_tpu.py --backend xla || exit 1
+q gate_dense 1800 python -u scripts/verify_tpu.py --backend dense || exit 1
 # 2. hw-mode statistical gate (hw key derivation changed: a313ad4)
 q hwstats 1200 python -u scripts/verify_hw_stats.py || exit 1
 # 3. Official reproducible-tier bench captures (VERDICT item 6)

@@ -174,6 +174,11 @@ def main(argv=None):
                 dict(nrows=64, ncols=2048, rng="threefry13", j_prob=0.3),
                 dict(nrows=64, ncols=2048, rng="philox", xsl=256, ysl=16),
             ]
+        if args.backend == "dense":
+            # dense indexes all 10 acceptance classes: field rides the
+            # threshold table with no kernel change — gate it compiled.
+            cases.append(dict(nrows=64, ncols=2048, rng="threefry13",
+                              field=0.75))
     if args.big:
         cases.append(dict(nrows=16384, ncols=16384, rng="threefry13",
                           steps=2))

@@ -82,6 +82,20 @@ def test_field_sweep_matches_naive(h, rng):
         np.asarray(lattice.compact_to_full(b, w)), full)
 
 
+def test_field_dense_matches_xla():
+    """The dense Pallas kernel always indexes all 10 classes, so the
+    field rides the threshold table there too — trajectories must be
+    bit-identical to xla's full-table path."""
+    base = dict(nrows=16, ncols=16, temp=1.9, seed=31, field=-0.7)
+    sx = Simulation(SimConfig(backend="xla", **base))
+    sd = Simulation(SimConfig(backend="dense", **base))
+    sx.advance(4), sd.advance(4)
+    np.testing.assert_array_equal(np.asarray(sx.bits()[0]),
+                                  np.asarray(sd.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(sx.bits()[1]),
+                                  np.asarray(sd.bits()[1]))
+
+
 @pytest.mark.parametrize("ndev", [1, 8])
 def test_field_simulation_matches_naive(ndev):
     cfg = SimConfig(nrows=16, ncols=16, temp=2.2, seed=11, backend="xla",
@@ -142,7 +156,7 @@ def test_energy_includes_field_term():
 
 
 def test_field_config_fencing():
-    with pytest.raises(ValueError, match="xla backend"):
+    with pytest.raises(ValueError, match="xla and dense"):
         SimConfig(nrows=8, ncols=64, temp=2.0, backend="bit1", field=0.5)
     with pytest.raises(ValueError, match="u32"):
         SimConfig(nrows=8, ncols=64, temp=2.0, backend="xla",
