@@ -94,7 +94,8 @@ def _seg_scan_axis(lab, open_fwd, axis: int):
     return jnp.minimum(mf, rev(mb))
 
 
-def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1):
+def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1,
+                   return_iters: bool = False):
     """int32 (Y, X) plane of per-site cluster labels (= min site id of the
     connected component under the open bonds, periodic in both axes).
 
@@ -122,7 +123,7 @@ def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1):
     ids = jnp.arange(Y * X, dtype=jnp.int32).reshape(Y, X)
 
     def body(state):
-        lab, _ = state
+        lab, _, k = state
         # Pull the neighbor's label across every open bond, both ways.
         l_r = jnp.where(open_r, jnp.roll(lab, -1, axis=1), lab)
         l_l = jnp.where(jnp.roll(open_r, 1, axis=1),
@@ -142,11 +143,11 @@ def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1):
             # new[i] is a same-cluster site id <= i, so chasing it one
             # hop stays in-cluster and is monotone.
             new = jnp.take(new.reshape(-1), new)
-        return new, jnp.any(new != lab)
+        return new, jnp.any(new != lab), k + 1
 
-    lab, _ = lax.while_loop(lambda s: s[1], body,
-                            (ids, jnp.asarray(True)))
-    return lab
+    lab, _, iters = lax.while_loop(lambda s: s[1], body,
+                                   (ids, jnp.asarray(True), jnp.int32(0)))
+    return (lab, iters) if return_iters else lab
 
 
 def cluster_coins(labels, seed: int, step):
@@ -311,9 +312,10 @@ class SwendsenWang:
 
     def energy(self) -> float:
         from . import observables
-        e = observables.energy_per_spin(*self.bits())
+        b, w = self.bits()
+        e = observables.energy_per_spin(b, w)
         h = self.cfg.field
         if h:
-            n_up, n_dn = observables.count_spins(*self.bits())
+            n_up, n_dn = observables.count_spins(b, w)
             e -= h * (n_up - n_dn) / self.cfg.nspins
         return e

@@ -87,8 +87,8 @@ class SimConfig:
     # (beyond the reference, which has no field term). h enters only
     # through the host-side acceptance table, but it breaks the
     # b <-> (4-n) mirror symmetry the 3-threshold kernel paths exploit,
-    # so field runs currently need the xla backend and a u32-contract rng
-    # mode (see models/ising.acceptance_probabilities).
+    # so field runs currently need a full-table backend (xla or dense)
+    # and a u32-contract rng mode (models/ising.acceptance_probabilities).
     field: float = 0.0
 
     # Sub-lattice replica mode: wrap periodically inside xsl x ysl tiles

@@ -184,6 +184,10 @@ def make_block2d_stepper(cfg, backend, mesh):
                                   "backend only")
     if cfg.xsl is not None or cfg.j_prob is not None:
         raise NotImplementedError("block2d prototype: no replica/disorder")
+    if cfg.field != 0.0:
+        # sweep_color below uses the mirror-symmetric select (h = 0 only);
+        # silently wrong dynamics otherwise.
+        raise NotImplementedError("block2d prototype: no external field")
     R, C = mesh.devices.shape
     ch = cfg.ncols // 2
     if cfg.nrows % R or (cfg.nrows // R) % 2:

@@ -30,38 +30,21 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from ising_tpu import SimConfig
-from ising_tpu.cluster import SwendsenWang, bond_threshold, open_bonds
+from ising_tpu.cluster import (SwendsenWang, bond_threshold,
+                               label_clusters, open_bonds)
 from ising_tpu.constants import TCRIT
 from ising_tpu.driver import Simulation
 from ising_tpu.rng import TAG_CLUSTER, color_draws
 
 
-def label_iters(open_r, open_d, scans=True, jumps=1):
-    """label_clusters with an iteration counter (library twin)."""
-    from ising_tpu.cluster import _seg_scan_axis
-    Y, X = open_r.shape
-    ids = jnp.arange(Y * X, dtype=jnp.int32).reshape(Y, X)
-
-    def body(state):
-        lab, _, k = state
-        l_r = jnp.where(open_r, jnp.roll(lab, -1, axis=1), lab)
-        l_l = jnp.where(jnp.roll(open_r, 1, axis=1),
-                        jnp.roll(lab, 1, axis=1), lab)
-        l_d = jnp.where(open_d, jnp.roll(lab, -1, axis=0), lab)
-        l_u = jnp.where(jnp.roll(open_d, 1, axis=0),
-                        jnp.roll(lab, 1, axis=0), lab)
-        new = jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
-                                           jnp.minimum(l_d, l_u)))
-        if scans:
-            new = jnp.minimum(new, _seg_scan_axis(new, open_r, 1))
-            new = jnp.minimum(new, _seg_scan_axis(new, open_d, 0))
-        for _ in range(jumps):
-            new = jnp.take(new.reshape(-1), new)
-        return new, jnp.any(new != lab), k + 1
-
-    _, _, k = lax.while_loop(lambda s: s[1], body,
-                             (ids, jnp.asarray(True), jnp.int32(0)))
-    return k
+def bond_state(cfg, L, step):
+    """Open-bond planes for the given step of cfg's trajectory stream."""
+    thr = bond_threshold(cfg.temperature)
+    dr = color_draws(cfg.seed, L, L, step=jnp.uint32(step),
+                     tag=TAG_CLUSTER | 0, row_stride=L)
+    dd = color_draws(cfg.seed, L, L, step=jnp.uint32(step),
+                     tag=TAG_CLUSTER | 1, row_stride=L)
+    return dr, dd, thr
 
 
 def fence(sw):
@@ -100,35 +83,36 @@ def main(argv=None):
             sw.advance(5)  # equilibrate a little / compile
             fence(sw)
             t_sw = time_steps(sw.advance, lambda: fence(sw))
-            # label-loop contraction variants at the current state: the
-            # library default (scan+jump) vs per-iteration-cheap options
-            # — the right default depends on the target's gather/scan
-            # costs, so measure here, then tune label_clusters' flags.
-            thr = bond_threshold(cfg.temperature)
-            dr = color_draws(cfg.seed, L, L, step=jnp.uint32(sw.step),
-                             tag=TAG_CLUSTER | 0, row_stride=L)
-            dd = color_draws(cfg.seed, L, L, step=jnp.uint32(sw.step),
-                             tag=TAG_CLUSTER | 1, row_stride=L)
-            o_r, o_d = open_bonds(sw.full, dr, dd, thr)
+            # label-loop contraction variants (the library's own
+            # label_clusters with return_iters — no duplicated twin): the
+            # default (scan+jump) vs per-iteration-cheap options. The
+            # right default depends on the target's gather/scan costs, so
+            # measure here, then tune label_clusters' flags. Inputs VARY
+            # between reps (three distinct bond realizations from
+            # consecutive draw steps of the equilibrated state) per the
+            # benching discipline in CLAUDE.md.
+            states = []
+            for ds in range(3):
+                dr, dd, thr = bond_state(cfg, L, sw.step + ds)
+                states.append(open_bonds(sw.full, dr, dd, thr))
             variants = {}
             for name, kw in (("scan+jump", dict(scans=True, jumps=1)),
                              ("scan", dict(scans=True, jumps=0)),
                              ("stencil", dict(scans=False, jumps=0)),
                              ("jump", dict(scans=False, jumps=1))):
-                f = jax.jit(lambda a, b, kw=kw: label_iters(a, b, **kw))
-                k = int(jax.device_get(f(o_r, o_d)))  # warm + count
+                f = jax.jit(lambda a, b, kw=kw: label_clusters(
+                    a, b, return_iters=True, **kw))
+                k = int(jax.device_get(f(*states[0])[1]))  # warm + count
                 t0 = time.time()
-                for _ in range(3):
-                    int(jax.device_get(f(o_r, o_d)))
-                variants[name] = (k, (time.time() - t0) / 3)
-            # Metropolis sweep time, same shape, flagship xla path
+                for st in states:
+                    int(jax.device_get(f(*st)[1]))
+                variants[name] = (k, (time.time() - t0) / len(states))
+            # Metropolis sweep time, same shape, flagship xla path —
+            # the same marginal-slope discipline as t_sw
             met = Simulation(cfg)
-            met.advance(2)
-            jax.device_get(met.black[0, 0])
-            t0 = time.time()
-            met.advance(8)
-            jax.device_get(met.black[0, 0])
-            t_met = (time.time() - t0) / 8
+            t_met = time_steps(met.advance,
+                               lambda: int(jax.device_get(
+                                   met.black[0, 0])))
             vtxt = "  ".join(f"{n}:{k}it/{t * 1e3:.0f}ms"
                              for n, (k, t) in variants.items())
             print(f"L={L} T={'Tc' if T == TCRIT else T}: "
