@@ -86,6 +86,26 @@ def swap_threshold_u32(dbeta: float, denergy: int) -> int:
     return int(math.exp(arg) * (1 << 32))
 
 
+def equalize_ladder(temps, pair_acceptance, floor: float = 0.01):
+    """One acceptance-equalization feedback iteration on a ladder.
+
+    Standard practice (Kofke/Katzgraber feedback): place the interior
+    rungs at uniform quantiles of the cumulative exchange "resistance"
+    r_i = max(1 - a_i, floor) accumulated along the ladder, endpoints
+    fixed — hard pairs (low measured acceptance a_i) attract rungs,
+    easy stretches shed them. Iterate measure -> equalize -> re-measure
+    until the pair acceptances flatten (2-3 iterations typically do).
+    """
+    import numpy as np
+    t = np.asarray(temps, np.float64)
+    if t.size - 1 != len(pair_acceptance):
+        raise ValueError("need one acceptance rate per adjacent pair")
+    r = np.maximum(1.0 - np.asarray(pair_acceptance, np.float64), floor)
+    lam = np.concatenate([[0.0], np.cumsum(r)])
+    targets = np.linspace(0.0, float(lam[-1]), t.size)
+    return [float(x) for x in np.interp(targets, lam, t)]
+
+
 class ParallelTempering:
     """K-replica exchange driver over one quenched-disorder realization.
 
@@ -131,6 +151,14 @@ class ParallelTempering:
         self.round = 0
         self.attempts = [0] * (len(temps) - 1)
         self.accepts = [0] * (len(temps) - 1)
+        # Round-trip diagnostics: _extreme[r] = last ladder end replica r
+        # touched; a bottom<->top flip pair is one completed round trip —
+        # THE mixing figure of merit for PT (acceptance alone can look
+        # healthy while replicas never traverse).
+        self._extreme = [None] * len(temps)
+        self._extreme[self.replica_at[0]] = "bottom"
+        self._extreme[self.replica_at[-1]] = "top"
+        self._flips = [0] * len(temps)
         self.batched = bool(batched)
         self._round_fn = None   # built lazily on the first batched round
         self._round_key = None  # steppers it was built against
@@ -172,6 +200,14 @@ class ParallelTempering:
                 for lst in (H, self.replica_at, *extras):
                     lst[i], lst[j] = lst[j], lst[i]
         self.round += 1
+        rb, rt = self.replica_at[0], self.replica_at[-1]
+        if self._extreme[rb] == "top":
+            self._flips[rb] += 1
+        self._extreme[rb] = "bottom"
+        if rt != rb:
+            if self._extreme[rt] == "bottom":
+                self._flips[rt] += 1
+            self._extreme[rt] = "top"
 
     def swap_phase(self):
         """One DEO phase of adjacent-pair exchange proposals."""
@@ -274,11 +310,36 @@ class ParallelTempering:
         return self.stats()
 
     def stats(self):
-        """Per-pair acceptance rates + current rung->replica permutation."""
+        """Per-pair acceptance rates, rung->replica permutation, and
+        per-replica completed round trips (bottom<->top<->bottom)."""
         rates = [a / n if n else 0.0
                  for a, n in zip(self.accepts, self.attempts)]
         return {"round": self.round, "pair_acceptance": rates,
-                "replica_at": list(self.replica_at)}
+                "replica_at": list(self.replica_at),
+                "round_trips": [f // 2 for f in self._flips]}
+
+    def retemper(self, temps):
+        """Move the rungs (not the configurations) to a new ladder — the
+        feedback loop with equalize_ladder(stats()["pair_acceptance"]).
+        Resets the acceptance counters (rates on the old ladder do not
+        describe the new one); round-trip counters persist (replica
+        lineages are unchanged). Static-threshold backends rebuild their
+        rung steppers inside set_temperature; the batched round function
+        is rebuilt lazily on the next round."""
+        temps = [float(t) for t in temps]
+        if len(temps) != len(self.sims):
+            raise ValueError("ladder size cannot change in retemper")
+        if any(t <= 0 for t in temps):
+            raise ValueError("rung temperatures must be > 0")
+        self.temps = temps
+        self.betas = [1.0 / t for t in temps]
+        for s, t in zip(self.sims, temps):
+            s.set_temperature(t)
+        self.attempts = [0] * (len(temps) - 1)
+        self.accepts = [0] * (len(temps) - 1)
+        self._cache = None
+        self._round_fn = None
+        self._round_key = None
 
     def measure(self):
         """Per-rung observables: temp + magnetization + energy/spin.

@@ -294,3 +294,64 @@ def test_measure_cache_invalidated_by_out_of_band_advance():
     assert after[1]["step"] == before[1]["step"] + 4
     # rung 0 untouched; rung 1's counts refetched from the new state
     assert after[0]["up"] == before[0]["up"]
+
+
+def test_equalize_ladder_math():
+    from ising_tpu.tempering import equalize_ladder
+    # Hard 2-3 pair (a=0.1) attracts the middle rung: resistances
+    # r = [0.1, 0.9], cumulative [0, 0.1, 1.0], uniform targets
+    # [0, 0.5, 1.0] -> interior rung at 2 + (0.5-0.1)/0.9 = 2.4444...
+    new = equalize_ladder([1.0, 2.0, 3.0], [0.9, 0.1])
+    np.testing.assert_allclose(new, [1.0, 2.0 + 0.4 / 0.9, 3.0],
+                               rtol=1e-12)
+    # endpoints always fixed, ladder stays monotone
+    new = equalize_ladder([0.8, 1.0, 1.3, 1.6], [0.2, 0.9, 0.4])
+    assert new[0] == 0.8 and new[-1] == 1.6
+    assert all(a < b for a, b in zip(new, new[1:]))
+    # uniform acceptance is a fixed point
+    np.testing.assert_allclose(
+        equalize_ladder([1.0, 2.0, 3.0], [0.5, 0.5]), [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="per adjacent pair"):
+        equalize_ladder([1.0, 2.0], [0.5, 0.5])
+
+
+def test_round_trip_counting_deterministic():
+    """Force every proposal to accept: on a 2-rung ladder the replicas
+    shuttle deterministically and complete one round trip per two
+    accepted exchanges (DEO: odd rounds have no pair at K=2)."""
+    pt = ParallelTempering(_base_cfg(), [1.5, 1.6], sweeps_per_swap=1)
+    pt._swap_draw = lambda pair: 0  # draw 0 < any nonzero threshold
+    assert pt.stats()["round_trips"] == [0, 0]
+    for _ in range(4):  # rounds 0..3: swaps at rounds 0 and 2
+        pt.advance_round()
+    assert pt.stats()["round_trips"] == [1, 1]
+    for _ in range(4):
+        pt.advance_round()
+    assert pt.stats()["round_trips"] == [2, 2]
+
+
+def test_retemper_feedback_loop():
+    """retemper moves the rungs: sequential and batched paths stay
+    bit-identical across a mid-run ladder change, acceptance counters
+    reset, round-trip lineage persists."""
+    temps0 = [1.5, 1.8, 2.4]
+    runs = {}
+    for batched in (True, False):
+        pt = ParallelTempering(_base_cfg(), temps0, sweeps_per_swap=1,
+                               batched=batched)
+        for _ in range(3):
+            pt.advance_round()
+        trips_before = pt.stats()["round_trips"]
+        from ising_tpu.tempering import equalize_ladder
+        pt.retemper(equalize_ladder(temps0, [0.8, 0.2]))
+        assert pt.attempts == [0, 0] and pt.accepts == [0, 0]
+        assert pt.stats()["round_trips"] == trips_before
+        for _ in range(3):
+            pt.advance_round()
+        runs[batched] = ([np.asarray(s.bits()[0]) for s in pt.sims],
+                         pt.replica_at, pt.accepts, pt.temps)
+    for a, b in zip(runs[True][0], runs[False][0]):
+        np.testing.assert_array_equal(a, b)
+    assert runs[True][1:] == runs[False][1:]
+    with pytest.raises(ValueError, match="size"):
+        pt.retemper([1.0, 2.0])
