@@ -54,13 +54,25 @@ def main(argv=None):
                     j_prob=args.jprob, j_seed=args.seed)
 
     pt = ParallelTempering(cfg, temps, sweeps_per_swap=args.sweeps)
-    pt.run(args.rounds)
 
-    print(f"ladder: {' '.join(f'{t:.3f}' for t in temps)}")
+    # Feedback phase: measure acceptance on a fraction of the budget,
+    # re-space the rungs where exchange is hard (equalize_ladder), then
+    # run the production rounds on the tuned ladder.
+    tune = max(4, args.rounds // 4)
+    pt.run(tune)
+    from ising_tpu.tempering import equalize_ladder
+    print("pre-tune  acceptance:",
+          " ".join(f"{r:.2f}" for r in pt.stats()["pair_acceptance"]))
+    pt.retemper(equalize_ladder(pt.temps, pt.stats()["pair_acceptance"]))
+    pt.run(args.rounds - tune)
+
+    print(f"tuned ladder: {' '.join(f'{t:.3f}' for t in pt.temps)}")
     st = pt.stats()
     print("pair acceptance:",
           " ".join(f"{r:.2f}" for r in st["pair_acceptance"]))
     print("replica at rung:", st["replica_at"])
+    print("round trips per replica:", st["round_trips"],
+          f"(total {sum(st['round_trips'])})")
     for m in pt.measure():
         print(f"T={m['temp']:.3f}  E/N={m['energy']:+.4f}  "
               f"|m|={m['magnetization']:.4f}")

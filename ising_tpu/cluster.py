@@ -32,7 +32,15 @@ Scope (fenced in __init__): ferromagnetic J = +1 (frustrated +-J has no
 FK representation), full-lattice wrap. A uniform field is supported
 through the ghost-spin construction (sw_step); multi-device runs shard
 rows and stay bit-identical to 1 device (GSPMD handles the halo/gather
-collectives). Labels
+collectives).
+
+Wolff is deliberately absent: single-cluster Wolff is exactly "label the
+FK clusters, flip the one containing a uniform random site" — on a
+serial machine it wins by touching one cluster, but here the labeling is
+a whole-lattice data-parallel pass either way, so Swendsen-Wang (flip
+EVERY cluster for the same labeling cost) strictly dominates on TPU.
+
+Labels
 are int32 site ids, so nrows * ncols < 2^31. State is the full (Y, X)
 uint8 bit lattice — the probe regime is "fits decoded", i.e. anything up
 to ~2^30 spins; the Metropolis tiers remain the giant-lattice path.
