@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "-s: fix it to vary only the thermal stream)")
     p.add_argument("--field", type=float, default=0.0,
                    help="uniform external field h (beyond the reference; "
-                        "xla/dense backends + u32 rng modes)")
+                        "xla/dense/packed backends + u32 rng modes)")
     p.add_argument("--xsl", type=int, default=None,
                    help="X size of independent sub-lattice replicas")
     p.add_argument("--ysl", type=int, default=None,

@@ -87,7 +87,7 @@ class SimConfig:
     # (beyond the reference, which has no field term). h enters only
     # through the host-side acceptance table, but it breaks the
     # b <-> (4-n) mirror symmetry the 3-threshold kernel paths exploit,
-    # so field runs currently need a full-table backend (xla or dense)
+    # so field runs need a full-table backend (xla, dense, or packed)
     # and a u32-contract rng mode (models/ising.acceptance_probabilities).
     field: float = 0.0
 
@@ -162,12 +162,11 @@ class SimConfig:
         if self.j_prob is not None and not (0.0 <= self.j_prob <= 1.0):
             raise ValueError("j_prob must be in [0, 1]")
         if self.field != 0.0:
-            if self.backend not in ("xla", "dense"):
+            if self.backend not in ("xla", "dense", "packed"):
                 raise ValueError(
-                    "external field is supported on the xla and dense "
-                    "backends only (the packed/bit1/mxu accept paths "
-                    "assume the h = 0 mirror symmetry; xla selects the "
-                    "full table, dense always indexes all 10 classes)")
+                    "external field is supported on the xla, dense, and "
+                    "packed backends (full-table accept paths); the "
+                    "bit1/mxu accepts assume the h = 0 mirror symmetry")
             from .rng import plane_bits
             if self.rng == "hw" or plane_bits(self.rng):
                 raise ValueError(

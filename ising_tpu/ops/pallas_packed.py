@@ -135,7 +135,8 @@ def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int,
 
 def _metropolis_block(me, src, up_row, dn_row, params_ref, thr_ref, blk, *,
                       color: int, BY: int, W: int, seed: int, rng_mode: str,
-                      interp: bool, greedy: bool, csl: int | None):
+                      interp: bool, greedy: bool, csl: int | None,
+                      full_table: bool = False):
     """One (BY, W) packed block's Metropolis half-sweep -> updated words.
 
     `blk` is the global row-block index (traced), used for the RNG counters'
@@ -179,11 +180,13 @@ def _metropolis_block(me, src, up_row, dn_row, params_ref, thr_ref, blk, *,
 
     return _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk,
                             color=color, BY=BY, W=W, seed=seed,
-                            rng_mode=rng_mode, interp=interp, greedy=greedy)
+                            rng_mode=rng_mode, interp=interp, greedy=greedy,
+                            full_table=full_table)
 
 
 def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
-                     color, BY, W, seed, rng_mode, interp, greedy):
+                     color, BY, W, seed, rng_mode, interp, greedy,
+                     full_table: bool = False):
     # Whole-word neighbor sum: every 4-bit field accumulates 0..4.
     nsum = up + dn + same + off
 
@@ -240,6 +243,39 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
         draws = draws.astype(jnp.int32)
     else:
         draws = (draws ^ bias).astype(jnp.int32)
+
+    if full_table:
+        # External-field path: h breaks the thr10[b*5+n]==thr10[(1-b)*5+
+        # (4-n)] mirror symmetry, so every field selects among all 10
+        # classes — the mirrored count e still classifies, and the own
+        # bit picks between the two 5-entry chains (b=1: thr10[5+e];
+        # b=0: n = 4-e, thr10[4-e]). The table already encodes the T <= 0
+        # quench probabilities, so greedy needs no separate branch here.
+        # Same biased signed-domain compare and per-field shift-to-sign
+        # classification as the greedy path below (no new op shapes for
+        # Mosaic; gated compiled by verify_tpu --backend packed).
+        ge1 = (e + jnp.uint32(0x77777777)) & M8
+        ge2 = (e + jnp.uint32(0x66666666)) & M8
+        tb = [(thr_ref[k] ^ bias).astype(jnp.int32) for k in range(10)]
+        flip = jnp.zeros((BY, W), jnp.uint32)
+        for z in range(8):
+            sh = 28 - 4 * z
+            is4 = (ge4 << sh).astype(jnp.int32) < 0
+            is3 = (ge3 << sh).astype(jnp.int32) < 0
+            is2 = (ge2 << sh).astype(jnp.int32) < 0
+            is1 = (ge1 << sh).astype(jnp.int32) < 0
+            own = (me << (31 - 4 * z)).astype(jnp.int32) < 0
+            t_up = jnp.where(is4, tb[9], jnp.where(is3, tb[8],
+                             jnp.where(is2, tb[7], jnp.where(is1, tb[6],
+                                                             tb[5]))))
+            t_dn = jnp.where(is4, tb[0], jnp.where(is3, tb[1],
+                             jnp.where(is2, tb[2], jnp.where(is1, tb[3],
+                                                             tb[4]))))
+            tsel = jnp.where(own, t_up, t_dn)
+            acc = draws[:, z * W:(z + 1) * W] <= tsel
+            flip = flip | jnp.where(acc, jnp.uint32(1 << (4 * z)),
+                                    jnp.uint32(0))
+        return me ^ flip
 
     if not greedy:
         # T > 0 plane-wise path: two whole-plane compares + word-mask
@@ -304,7 +340,8 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
 def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                    *rest, color: int, row_block: int, seed: int,
                    rng_mode: str, disorder: bool, csl: int | None = None,
-                   interp: bool = False, greedy: bool = False):
+                   interp: bool = False, greedy: bool = False,
+                   full_table: bool = False):
     out_ref = rest[-1]
     BY = row_block
     W = dst_ref.shape[1]
@@ -349,12 +386,12 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         out_ref[...] = _accept_and_flip(
             me, up, dn, same, off, params_ref, thr_ref, i, color=color,
             BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
-            greedy=greedy)
+            greedy=greedy, full_table=full_table)
     else:
         out_ref[...] = _metropolis_block(
             me, src, up_row, dn_row, params_ref, thr_ref, i, color=color,
             BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
-            greedy=greedy, csl=csl)
+            greedy=greedy, csl=csl, full_table=full_table)
 
 
 def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
@@ -362,7 +399,7 @@ def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
                   prev_black, first_black, prev_white, first_white,
                   rowb1, prev_last,
                   *, row_block: int, nblk: int, seed: int, rng_mode: str,
-                  interp: bool, greedy: bool):
+                  interp: bool, greedy: bool, full_table: bool = False):
     """Both color phases of one MC step in a single kernel (ndev == 1).
 
     Software pipeline with a one-block lag: grid step i computes black'
@@ -388,7 +425,7 @@ def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
     newb = _metropolis_block(me_b, src_w, up_row, dn_row, params_ref,
                              thr_ref, bi, color=BLACK, BY=BY, W=W, seed=seed,
                              rng_mode=rng_mode, interp=interp, greedy=greedy,
-                             csl=None)
+                             csl=None, full_table=full_table)
 
     @pl.when(i < nb)
     def _():
@@ -412,7 +449,7 @@ def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
     neww = _metropolis_block(me_w, body, top, bottom, params_ref, thr_ref,
                              k, color=WHITE, BY=BY, W=W, seed=seed,
                              rng_mode=rng_mode, interp=interp, greedy=greedy,
-                             csl=None)
+                             csl=None, full_table=full_table)
 
     @pl.when(i >= 2)
     def _():
@@ -441,7 +478,8 @@ def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
                          first_black, first_white, row_b1, last_bm1,
                          bin_sem, win_sem, bout_sem, wout_sem,
                          *, row_block: int, nblk: int, seed: int,
-                         rng_mode: str, interp: bool, greedy: bool):
+                         rng_mode: str, interp: bool, greedy: bool,
+                         full_table: bool = False):
     """Both color phases of one MC step, explicitly software-pipelined.
 
     Round-1's fused kernel used BlockSpec windows plus cross-grid-step VMEM
@@ -516,7 +554,8 @@ def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
         newb = _metropolis_block(
             me_b, src_w, up_row, dn_row, params_ref, thr_ref, i,
             color=BLACK, BY=BY, W=W, seed=seed, rng_mode=rng_mode,
-            interp=interp, greedy=greedy, csl=None)
+            interp=interp, greedy=greedy, csl=None,
+            full_table=full_table)
         nbring[i % 3] = newb
         bout_dma(i, i % 3).start()
 
@@ -558,7 +597,7 @@ def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
         neww = _metropolis_block(
             me_w, body, top, bottom, params_ref, thr_ref, k, color=WHITE,
             BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
-            greedy=greedy, csl=None)
+            greedy=greedy, csl=None, full_table=full_table)
         wobuf[i % 2] = neww
         wout_dma(k, i % 2).start()
 
@@ -569,7 +608,7 @@ def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
             first_white[...], first_black[...], last_bm1[...], row_b1[...],
             params_ref, thr_ref, jnp.int32(0), color=WHITE, BY=BY, W=W,
             seed=seed, rng_mode=rng_mode, interp=interp, greedy=greedy,
-            csl=None)
+            csl=None, full_table=full_table)
         wobuf[i % 2] = neww
         wout_dma(0, i % 2).start()
 
@@ -588,11 +627,13 @@ def _fused_manual_kernel(params_ref, thr_ref, bin_hbm, win_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "seed", "rng_mode", "interpret", "greedy", "block_rows"))
+    "seed", "rng_mode", "interpret", "greedy", "block_rows",
+    "full_table"))
 def packed_fused_step_manual(black, white, thr10, row0, step, *, seed: int,
                              rng_mode: str = "philox",
                              interpret: bool = False, greedy: bool = False,
-                             block_rows: int | None = None):
+                             block_rows: int | None = None,
+                             full_table: bool = False):
     """One full MC step (both colors), manually pipelined (see kernel)."""
     H, W = black.shape
     BY = block_rows or _block_rows_for(H, 4 * W, rng_mode)
@@ -612,7 +653,8 @@ def packed_fused_step_manual(black, white, thr10, row0, step, *, seed: int,
     whole = lambda i: (0, 0)
     kernel = functools.partial(
         _fused_manual_kernel, row_block=BY, nblk=nblk, seed=seed,
-        rng_mode=rng_mode, interp=interpret, greedy=greedy)
+        rng_mode=rng_mode, interp=interpret, greedy=greedy,
+        full_table=full_table)
 
     new_black, new_white = pl.pallas_call(
         kernel,
@@ -651,10 +693,10 @@ def packed_fused_step_manual(black, white, thr10, row0, step, *, seed: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "seed", "rng_mode", "interpret", "greedy"))
+    "seed", "rng_mode", "interpret", "greedy", "full_table"))
 def packed_fused_step(black, white, thr10, row0, step, *, seed: int,
                       rng_mode: str = "philox", interpret: bool = False,
-                      greedy: bool = False):
+                      greedy: bool = False, full_table: bool = False):
     """One full MC step (both colors) in a single fused pallas_call."""
     H, W = black.shape
     BY = _block_rows_for(H, 4 * W, rng_mode)
@@ -680,7 +722,8 @@ def packed_fused_step(black, white, thr10, row0, step, *, seed: int,
 
     kernel = functools.partial(
         _fused_kernel, row_block=BY, nblk=nblk, seed=seed,
-        rng_mode=rng_mode, interp=interpret, greedy=greedy)
+        rng_mode=rng_mode, interp=interpret, greedy=greedy,
+        full_table=full_table)
 
     new_black, new_white = pl.pallas_call(
         kernel,
@@ -715,11 +758,13 @@ def packed_fused_step(black, white, thr10, row0, step, *, seed: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "color", "seed", "rng_mode", "interpret", "csl", "ysl", "greedy"))
+    "color", "seed", "rng_mode", "interpret", "csl", "ysl", "greedy",
+    "full_table"))
 def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
                  *, color: int, seed: int, rng_mode: str = "philox",
                  interpret: bool = False, csl: int | None = None,
-                 ysl: int | None = None, greedy: bool = False):
+                 ysl: int | None = None, greedy: bool = False,
+                 full_table: bool = False):
     """One color half-sweep over the packed (H, W) plane."""
     import numpy as np
 
@@ -769,7 +814,7 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
     kernel = functools.partial(
         _packed_kernel, color=color, row_block=BY, seed=seed,
         rng_mode=rng_mode, disorder=disorder, csl=csl, interp=interpret,
-        greedy=greedy)
+        greedy=greedy, full_table=full_table)
 
     return pl.pallas_call(
         kernel,
@@ -822,6 +867,9 @@ class PackedBackend:
         # coin-flip class. The driver flips this attribute (triggering a
         # retrace) if set_temperature ever crosses zero.
         self.greedy = cfg.temperature <= 0
+        # External field: the mirror symmetry is gone; every field
+        # selects among all 10 classes (see _accept_and_flip).
+        self.full_table = cfg.field != 0.0
         self.interpret = jax.default_backend() == "cpu"
         if not self.interpret and cfg.ncols % 2048:
             # On compiled TPU the packed plane width W = ncols/16 must fill
@@ -892,11 +940,13 @@ class PackedBackend:
                 black, white, thr10, jnp.uint32(0), step,
                 seed=self.cfg.seed, rng_mode=self.cfg.rng,
                 interpret=self.interpret, greedy=self.greedy,
-                block_rows=self.fused_block_rows(black.shape[0]))
+                block_rows=self.fused_block_rows(black.shape[0]),
+                full_table=self.full_table)
         return packed_fused_step(black, white, thr10, jnp.uint32(0), step,
                                  seed=self.cfg.seed, rng_mode=self.cfg.rng,
                                  interpret=self.interpret,
-                                 greedy=self.greedy)
+                                 greedy=self.greedy,
+                                 full_table=self.full_table)
 
     def row_up_counts(self, black_store, white_store):
         """Popcount on packed words (reference getMagn_k analog) — no decode."""
@@ -915,4 +965,5 @@ class PackedBackend:
                             jnp.uint32(row0), step, jword,
                             color=color, seed=self.cfg.seed,
                             rng_mode=self.cfg.rng, interpret=self.interpret,
-                            csl=self.csl, ysl=self.ysl, greedy=self.greedy)
+                            csl=self.csl, ysl=self.ysl, greedy=self.greedy,
+                            full_table=self.full_table)

@@ -173,6 +173,11 @@ def main(argv=None):
             cases += [
                 dict(nrows=64, ncols=2048, rng="threefry13", j_prob=0.3),
                 dict(nrows=64, ncols=2048, rng="philox", xsl=256, ysl=16),
+                # full-table accept (external field): 10-class select
+                # chains per own-bit — new op composition, gate it
+                dict(nrows=64, ncols=2048, rng="threefry13", field=0.75),
+                dict(nrows=64, ncols=2048, rng="chacha8", field=-1.25,
+                     j_prob=0.3),
             ]
         if args.backend == "dense":
             # dense indexes all 10 acceptance classes: field rides the

@@ -82,18 +82,37 @@ def test_field_sweep_matches_naive(h, rng):
         np.asarray(lattice.compact_to_full(b, w)), full)
 
 
-def test_field_dense_matches_xla():
-    """The dense Pallas kernel always indexes all 10 classes, so the
-    field rides the threshold table there too — trajectories must be
-    bit-identical to xla's full-table path."""
-    base = dict(nrows=16, ncols=16, temp=1.9, seed=31, field=-0.7)
+@pytest.mark.parametrize("backend", ["dense", "packed"])
+def test_field_backends_match_xla(backend):
+    """dense always indexes all 10 classes; packed's full-table path
+    selects per own-bit between the two 5-entry chains — both must be
+    bit-identical to xla's full-table trajectories."""
+    base = dict(nrows=16, ncols=32, temp=1.9, seed=31, field=-0.7)
     sx = Simulation(SimConfig(backend="xla", **base))
-    sd = Simulation(SimConfig(backend="dense", **base))
+    sd = Simulation(SimConfig(backend=backend, **base))
     sx.advance(4), sd.advance(4)
     np.testing.assert_array_equal(np.asarray(sx.bits()[0]),
                                   np.asarray(sd.bits()[0]))
     np.testing.assert_array_equal(np.asarray(sx.bits()[1]),
                                   np.asarray(sd.bits()[1]))
+
+
+@pytest.mark.parametrize("extra", [dict(), dict(j_prob=0.3),
+                                   dict(xsl=8, ysl=8),
+                                   dict(temp=0.0, field=2.0)])
+def test_field_packed_matches_xla_variants(extra):
+    """packed full-table accept across its feature matrix: disorder,
+    sub-lattice replicas, and the T = 0 greedy quench (the full-table
+    path needs no separate greedy branch — the table encodes it)."""
+    base = dict(nrows=16, ncols=64, temp=1.7, seed=77, field=0.9)
+    base.update(extra)
+    sx = Simulation(SimConfig(backend="xla", **base))
+    sp = Simulation(SimConfig(backend="packed", **base))
+    sx.advance(3), sp.advance(3)
+    np.testing.assert_array_equal(np.asarray(sx.bits()[0]),
+                                  np.asarray(sp.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(sx.bits()[1]),
+                                  np.asarray(sp.bits()[1]))
 
 
 @pytest.mark.parametrize("ndev", [1, 8])
@@ -156,7 +175,7 @@ def test_energy_includes_field_term():
 
 
 def test_field_config_fencing():
-    with pytest.raises(ValueError, match="xla and dense"):
+    with pytest.raises(ValueError, match="full-table"):
         SimConfig(nrows=8, ncols=64, temp=2.0, backend="bit1", field=0.5)
     with pytest.raises(ValueError, match="u32"):
         SimConfig(nrows=8, ncols=64, temp=2.0, backend="xla",
