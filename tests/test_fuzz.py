@@ -21,9 +21,14 @@ def random_cases(n, master_seed=20260816):
         temp = float(rs.choice([0.0, 0.8, 1.5, 2.269, 3.5, 8.0]))
         seed = int(rs.randint(1, 2 ** 50))
         kw = dict(nrows=nrows, ncols=ncols, temp=temp, seed=seed)
-        feature = rs.randint(0, 3)
+        feature = rs.randint(0, 4)
         if feature == 1:
             kw["j_prob"] = float(rs.uniform(0, 1))
+        elif feature == 3:
+            # external field (full-table accept), optionally on disorder
+            kw["field"] = float(rs.uniform(-3.0, 3.0)) or 0.5
+            if rs.randint(0, 2):
+                kw["j_prob"] = float(rs.uniform(0, 1))
         elif feature == 2:
             # replica mode obeying the packed divisibility rules
             w = ncols // 16
