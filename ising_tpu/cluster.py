@@ -40,10 +40,10 @@ serial machine it wins by touching one cluster, but here the labeling is
 a whole-lattice data-parallel pass either way, so Swendsen-Wang (flip
 EVERY cluster for the same labeling cost) strictly dominates on TPU.
 
-Labels
-are int32 site ids, so nrows * ncols < 2^31. State is the full (Y, X)
-uint8 bit lattice — the probe regime is "fits decoded", i.e. anything up
-to ~2^30 spins; the Metropolis tiers remain the giant-lattice path.
+Labels are int32 site ids, so nrows * ncols < 2^31. State is the full
+(Y, X) uint8 bit lattice — the working regime is "fits decoded", i.e.
+anything up to ~2^30 spins; the Metropolis tiers remain the
+giant-lattice path.
 """
 
 from __future__ import annotations
