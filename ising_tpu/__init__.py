@@ -9,7 +9,7 @@ shard_map slab decomposition with ppermute halo exchange for multi-chip
 runs, and the full reference feature set plus beyond-reference
 capabilities: checkpoint/resume, parallel tempering (tempering.py),
 Swendsen-Wang cluster updates (cluster.py), a uniform external field,
-and the MC statistics toolkit (analysis.py).
+and the MC statistics toolkit (analysis.py, reweight.py).
 """
 
 from .config import SimConfig  # noqa: F401

@@ -58,6 +58,13 @@ def test_cluster_vs_metropolis_tiny():
     assert "Swendsen-Wang" in out and "speedup" in out
 
 
+def test_reweight_peak_tiny():
+    out = _run_path("examples/reweight_peak.py",
+                    ["--size", "16", "--ntemps", "3", "--warmup", "40",
+                     "--samples", "40", "--every", "2"])
+    assert "WHAM converged" in out and "C/N peak" in out
+
+
 def test_hysteresis_tiny():
     out = _run_path("examples/hysteresis.py",
                     ["--size", "16", "--hmax", "1.0", "--steps", "5",
