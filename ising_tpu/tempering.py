@@ -342,7 +342,8 @@ class ParallelTempering:
         self._round_key = None
 
     def measure(self):
-        """Per-rung observables: temp + magnetization + energy/spin.
+        """Per-rung observables: temp + magnetization + energy/spin
+        (+ the exact integer Hamiltonian as "energy_total").
 
         Free after a batched round (the round function already returned
         every rung's row partials — values are served from that round's
@@ -366,5 +367,24 @@ class ParallelTempering:
             out.append({"step": s.step,
                         "magnetization": abs(2 * u - n) / n,
                         "up": u, "down": n - u, "temp": t,
-                        "energy": h / n})
+                        "energy": h / n, "energy_total": h})
         return out
+
+    def collect_energies(self, nrounds: int):
+        """Run nrounds and return per-RUNG total-energy series.
+
+        The return value feeds reweight.wham(runs, pt.temps) directly:
+        rung k's series samples the fixed temperature temps[k] (post-swap
+        configurations — exactly the ensemble WHAM assumes), so a PT run
+        doubles as a multiple-histogram dataset with no extra sampling.
+        Energies are the exact integer Hamiltonians measure() already
+        fetched; on batched rounds the whole collection costs nothing
+        beyond the rounds themselves.
+        """
+        import numpy as np
+        out = [[] for _ in self.sims]
+        for _ in range(int(nrounds)):
+            self.advance_round()
+            for k, m in enumerate(self.measure()):
+                out[k].append(m["energy_total"])
+        return [np.asarray(r, np.float64) for r in out]

@@ -355,3 +355,33 @@ def test_retemper_feedback_loop():
     assert runs[True][1:] == runs[False][1:]
     with pytest.raises(ValueError, match="size"):
         pt.retemper([1.0, 2.0])
+
+
+def test_collect_energies_feeds_wham():
+    """A PT run doubles as a WHAM dataset: collect_energies returns
+    per-rung exact total-energy series (post-swap, rung order), and the
+    stitched ensemble reproduces each rung's own direct mean."""
+    from ising_tpu.reweight import wham
+
+    temps = [2.0, 2.5, 3.0]
+    pt = ParallelTempering(_base_cfg(), temps, sweeps_per_swap=2)
+    pt.run(10)  # equilibrate past the random init
+    runs = pt.collect_energies(40)
+    assert len(runs) == len(temps)
+    assert all(r.shape == (40,) for r in runs)
+    # exact integers: series values match measure()'s energy_total ints
+    assert all(float(v).is_integer() for v in runs[0])
+    m = pt.measure()
+    assert runs[1][-1] == m[1]["energy_total"]
+    assert m[1]["energy"] == m[1]["energy_total"] / pt.sims[1].cfg.nspins
+
+    ens = wham(runs, temps)
+    assert ens.residual < 1e-12
+    for k, t in enumerate(temps):
+        est, ess = ens.expectation(t, min_ess=5.0)
+        direct = runs[k].mean()
+        spread = runs[k].std() + 1e-9
+        # pooled estimate within a generous band of the rung's own mean
+        # (correlated short series; this is a wiring test, not physics —
+        # test_reweight.py carries the exact-enumeration validation)
+        assert abs(est - direct) < 6.0 * spread / np.sqrt(ess) + 0.15 * spread
