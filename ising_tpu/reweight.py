@@ -37,6 +37,7 @@ __all__ = [
     "reweight_curve",
     "Wham",
     "wham",
+    "wham_jackknife",
     "peak_location",
 ]
 
@@ -192,7 +193,7 @@ class Wham:
 
 
 def wham(energies_by_run, temps, tol: float = 1e-12,
-         maxiter: int = 10_000) -> Wham:
+         maxiter: int = 10_000, f_init=None) -> Wham:
     """Solve the WHAM self-consistency over runs at several temperatures.
 
     energies_by_run: sequence of per-run TOTAL-energy sample arrays (one
@@ -206,6 +207,8 @@ def wham(energies_by_run, temps, tol: float = 1e-12,
     geometric when adjacent energy histograms overlap — the same condition
     a healthy PT ladder already satisfies by construction (its swap rates
     ARE the overlap). Raises if the iteration stalls above tol * 1e3.
+    f_init warm-starts the free energies (wham_jackknife re-solves from
+    the full-dataset solution).
     """
     temps = np.asarray(temps, np.float64)
     runs = [np.asarray(e, np.float64).ravel() for e in energies_by_run]
@@ -221,7 +224,13 @@ def wham(energies_by_run, temps, tol: float = 1e-12,
     # (K, n) matrix of -beta_k E_j, the only big intermediate. For very
     # long ladders x runs this is K*n doubles — chunk if it ever matters.
     negBE = -np.outer(betas, E)
-    f = np.zeros(temps.size)
+    if f_init is None:
+        f = np.zeros(temps.size)
+    else:
+        f = np.asarray(f_init, np.float64).copy()
+        if f.shape != temps.shape:
+            raise ValueError("f_init must have one entry per temperature")
+        f = f - f[0]
     it = 0
     resid = math.inf
     for it in range(1, maxiter + 1):
@@ -241,6 +250,61 @@ def wham(energies_by_run, temps, tol: float = 1e-12,
     log_denom = _logsumexp(negBE + (f + np.log(n_k))[:, None], axis=0)
     return Wham(energies=E, log_denom=log_denom, temps=temps,
                 free_energies=f, iterations=it, residual=resid)
+
+
+def wham_jackknife(energies_by_run, temps, statistic, nblocks: int = 10,
+                   observables_by_run=None, **wham_kw):
+    """(estimate, error) of a functional of the WHAM ensemble by block
+    jackknife: delete one TIME block from every run simultaneously,
+    re-solve the self-consistency (warm-started from the full solution),
+    and propagate the spread — the honest error bar for reweighted
+    curves, absorbing both the free-energy refit and MC autocorrelation
+    once blocks exceed ~2 tau (the same blocking logic as
+    analysis.binned_error; jackknife formulae as analysis.jackknife).
+
+    statistic: callable(Wham) -> float, e.g.
+        lambda ens: ens.specific_heat(2.3, N)
+        lambda ens: peak_location(lambda t: ens.specific_heat(t, N),
+                                  tlo, thi)[0]
+    With observables_by_run (per-run arrays aligned with each energy
+    series), statistic is called as statistic(ens, pooled_obs) where
+    pooled_obs matches the resampled ensemble's sample order — for
+    magnetization-based functionals like chi(T).
+    """
+    runs = [np.asarray(r, np.float64).ravel() for r in energies_by_run]
+    if nblocks < 2:
+        raise ValueError("need at least 2 blocks")
+    if min(r.size for r in runs) < 2 * nblocks:
+        raise ValueError("need >= 2 samples per block in every run")
+    obs = None
+    if observables_by_run is not None:
+        obs = [np.asarray(o, np.float64) for o in observables_by_run]
+        if len(obs) != len(runs) or any(
+                o.shape[0] != r.size for o, r in zip(obs, runs)):
+            raise ValueError("observables must align with energy runs")
+
+    def solve(drop, f_init=None):
+        keep = []
+        for r in runs:
+            nb = r.size // nblocks
+            m = np.ones(r.size, bool)
+            if drop is not None:
+                m[drop * nb:(drop + 1) * nb] = False
+            keep.append(m)
+        ens = wham([r[m] for r, m in zip(runs, keep)], temps,
+                   f_init=f_init, **wham_kw)
+        if obs is not None:
+            pooled = np.concatenate([o[m] for o, m in zip(obs, keep)])
+            return float(statistic(ens, pooled)), ens
+        return float(statistic(ens)), ens
+
+    full, ens0 = solve(None)
+    loo = np.array([solve(b, f_init=ens0.free_energies)[0]
+                    for b in range(nblocks)])
+    err = math.sqrt((nblocks - 1) / nblocks
+                    * float(np.sum((loo - loo.mean()) ** 2)))
+    est = nblocks * full - (nblocks - 1) * float(loo.mean())
+    return est, err
 
 
 def peak_location(curve, lo: float, hi: float, tol: float = 1e-6,

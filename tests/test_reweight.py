@@ -14,7 +14,8 @@ import numpy as np
 import pytest
 
 from ising_tpu.reweight import (Wham, effective_sample_size, peak_location,
-                                reweight, reweight_curve, wham)
+                                reweight, reweight_curve, wham,
+                                wham_jackknife)
 
 Y, X = 2, 8
 N = Y * X
@@ -189,3 +190,53 @@ def test_peak_location_quadratic():
     x, fx = peak_location(lambda t: -(t - 1.37) ** 2 + 4.0, 0.0, 3.0)
     assert x == pytest.approx(1.37, abs=1e-5)
     assert fx == pytest.approx(4.0, abs=1e-9)
+
+
+def test_wham_jackknife_error_calibration():
+    """Jackknife error bars must match the repeat-experiment scatter:
+    16 independent datasets -> std of the estimates vs the mean reported
+    error, within a generous band (iid draws, so no autocorrelation)."""
+    t_query = 2.25
+    ests, errs = [], []
+    for rep in range(16):
+        runs = [draw(t, 1500, seed=1000 + 31 * rep + i)[0]
+                for i, t in enumerate(TEMPS)]
+        est, err = wham_jackknife(
+            runs, TEMPS, lambda ens: ens.expectation(t_query)[0],
+            nblocks=8)
+        ests.append(est)
+        errs.append(err)
+    scatter = np.std(ests, ddof=1)
+    mean_err = float(np.mean(errs))
+    assert 0.4 * scatter < mean_err < 2.5 * scatter
+    # and the estimates actually surround the exact value
+    assert abs(np.mean(ests) - exact_mean(t_query, H_ALL)) < \
+        4.0 * scatter / math.sqrt(16)
+
+
+def test_wham_jackknife_with_observables():
+    runs, mags = [], []
+    for i, t in enumerate(TEMPS):
+        E, M = draw(t, 2000, seed=300 + i)
+        runs.append(E)
+        mags.append(M.astype(float) ** 2)
+    est, err = wham_jackknife(
+        runs, TEMPS,
+        lambda ens, m2: ens.expectation(2.4, m2)[0],
+        nblocks=8, observables_by_run=mags)
+    assert err > 0
+    exact = exact_mean(2.4, M_ALL ** 2.0)
+    assert abs(est - exact) < 6.0 * err + 0.02 * exact
+
+
+def test_wham_jackknife_validation():
+    runs = [draw(t, 100, seed=2)[0] for t in TEMPS]
+    with pytest.raises(ValueError, match="blocks"):
+        wham_jackknife(runs, TEMPS, lambda e: 0.0, nblocks=1)
+    with pytest.raises(ValueError, match="2 samples per block"):
+        wham_jackknife(runs, TEMPS, lambda e: 0.0, nblocks=60)
+    with pytest.raises(ValueError, match="align"):
+        wham_jackknife(runs, TEMPS, lambda e, o: 0.0,
+                       observables_by_run=[runs[0][:5]] * 3)
+    with pytest.raises(ValueError, match="f_init"):
+        wham(runs, TEMPS, f_init=np.zeros(5))
