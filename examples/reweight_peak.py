@@ -24,7 +24,8 @@ import numpy as np
 
 from ising_tpu import SimConfig, TCRIT
 from ising_tpu.driver import Simulation
-from ising_tpu.reweight import peak_location, reweight, wham
+from ising_tpu.reweight import (peak_location, reweight, wham,
+                                wham_jackknife)
 
 
 def collect(L, temp, warmup, samples, every, backend, seed):
@@ -76,7 +77,12 @@ def main(argv=None):
 
     t_peak, c_peak = peak_location(
         lambda t: ens.specific_heat(t, N), a.tmin, a.tmax, tol=1e-5)
-    print(f"C/N peak: T_c(L={a.size}) = {t_peak:.4f}  "
+    _, t_err = wham_jackknife(
+        runs, temps,
+        lambda e: peak_location(lambda t: e.specific_heat(t, N),
+                                a.tmin, a.tmax, tol=1e-4)[0],
+        nblocks=min(8, a.samples // 2))
+    print(f"C/N peak: T_c(L={a.size}) = {t_peak:.4f} +- {t_err:.4f}  "
           f"(C/N = {c_peak:.4f}; infinite-volume Tc = {TCRIT:.4f})")
     return 0
 

@@ -19,9 +19,9 @@ but raw-sample WHAM is exactly the infinitesimal-bin limit and avoids the
 binning-width systematic entirely. Everything is log-space (log-sum-exp)
 so absolute energies of giant lattices (|E| ~ 1e10) cannot overflow.
 
-Units: energies are TOTAL energies (the driver's energy() output, not per
-spin); temperatures are in units of J/k_B like everywhere else in the
-package.
+Units: energies are TOTAL Hamiltonians H (e.g. `-Simulation.energy_total()`
+or tempering.measure()'s "energy_total" — NOT the per-spin energy());
+temperatures are in units of J/k_B like everywhere else in the package.
 """
 
 from __future__ import annotations
@@ -46,8 +46,8 @@ def _logsumexp(a: np.ndarray, axis=None):
     """log(sum(exp(a))) without overflow; -inf-safe."""
     amax = np.max(a, axis=axis, keepdims=True)
     amax = np.where(np.isfinite(amax), amax, 0.0)
-    out = np.log(np.sum(np.exp(a - amax), axis=axis)) + np.squeeze(amax, axis=axis)
-    return out
+    return (np.log(np.sum(np.exp(a - amax), axis=axis))
+            + np.squeeze(amax, axis=axis))
 
 
 def effective_sample_size(log_weights: np.ndarray) -> float:

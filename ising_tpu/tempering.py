@@ -343,7 +343,7 @@ class ParallelTempering:
 
     def measure(self):
         """Per-rung observables: temp + magnetization + energy/spin
-        (+ the exact integer Hamiltonian as "energy_total").
+        (+ the exact integer Hamiltonian as "hamiltonian").
 
         Free after a batched round (the round function already returned
         every rung's row partials — values are served from that round's
@@ -367,7 +367,7 @@ class ParallelTempering:
             out.append({"step": s.step,
                         "magnetization": abs(2 * u - n) / n,
                         "up": u, "down": n - u, "temp": t,
-                        "energy": h / n, "energy_total": h})
+                        "energy": h / n, "hamiltonian": h})
         return out
 
     def collect_energies(self, nrounds: int):
@@ -386,5 +386,5 @@ class ParallelTempering:
         for _ in range(int(nrounds)):
             self.advance_round()
             for k, m in enumerate(self.measure()):
-                out[k].append(m["energy_total"])
+                out[k].append(m["hamiltonian"])
         return [np.asarray(r, np.float64) for r in out]

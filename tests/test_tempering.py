@@ -369,11 +369,11 @@ def test_collect_energies_feeds_wham():
     runs = pt.collect_energies(40)
     assert len(runs) == len(temps)
     assert all(r.shape == (40,) for r in runs)
-    # exact integers: series values match measure()'s energy_total ints
+    # exact integers: series values match measure()'s hamiltonian ints
     assert all(float(v).is_integer() for v in runs[0])
     m = pt.measure()
-    assert runs[1][-1] == m[1]["energy_total"]
-    assert m[1]["energy"] == m[1]["energy_total"] / pt.sims[1].cfg.nspins
+    assert runs[1][-1] == m[1]["hamiltonian"]
+    assert m[1]["energy"] == m[1]["hamiltonian"] / pt.sims[1].cfg.nspins
 
     ens = wham(runs, temps)
     assert ens.residual < 1e-12
