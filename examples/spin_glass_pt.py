@@ -7,6 +7,10 @@ temperature ladder, and the cold rung's energy is compared against a
 plain single-temperature run of the same length on the same links
 (j_seed pins the realization). Tempering should match or beat the
 quench: cold replicas escape local minima by diffusing up the ladder.
+A second independent ladder on the same links supplies the per-rung
+Edwards-Anderson overlaps q(T_k) (tempering.replica_overlap) and the
+cold-rung overlap Binder ratio (analysis.binder_g) — the observables a
+spin-glass study actually publishes.
 
 Rung spacing must shrink as 1/sqrt(nspins) for healthy exchange rates
 (dE between rungs grows with N while the Metropolis window does not), so
@@ -27,8 +31,9 @@ sys.path.insert(0, ".")
 import numpy as np
 
 from ising_tpu import SimConfig
+from ising_tpu.analysis import binder_g
 from ising_tpu.driver import Simulation
-from ising_tpu.tempering import ParallelTempering
+from ising_tpu.tempering import ParallelTempering, replica_overlap
 
 
 def main(argv=None):
@@ -64,7 +69,21 @@ def main(argv=None):
     print("pre-tune  acceptance:",
           " ".join(f"{r:.2f}" for r in pt.stats()["pair_acceptance"]))
     pt.retemper(equalize_ladder(pt.temps, pt.stats()["pair_acceptance"]))
-    pt.run(args.rounds - tune)
+
+    # Second independent ladder (same links, distinct thermal seeds) on
+    # the tuned grid: per-rung Edwards-Anderson overlaps q(T_k) are THE
+    # spin-glass observables (P(q), Binder g) — collected each round in
+    # one batched fetch per ladder pair.
+    import dataclasses
+    pt_b = ParallelTempering(dataclasses.replace(cfg, seed=cfg.seed + 1),
+                             pt.temps, sweeps_per_swap=args.sweeps)
+    pt_b.run(tune)  # match ladder A's equilibration budget
+    q_samples = [[] for _ in range(K)]
+    for _ in range(args.rounds - tune):
+        pt.advance_round()
+        pt_b.advance_round()
+        for k, q in enumerate(replica_overlap(pt, pt_b)):
+            q_samples[k].append(q)
 
     print(f"tuned ladder: {' '.join(f'{t:.3f}' for t in pt.temps)}")
     st = pt.stats()
@@ -73,9 +92,13 @@ def main(argv=None):
     print("replica at rung:", st["replica_at"])
     print("round trips per replica:", st["round_trips"],
           f"(total {sum(st['round_trips'])})")
-    for m in pt.measure():
+    for m, qs in zip(pt.measure(), q_samples):
+        aq = np.mean(np.abs(qs)) if qs else float("nan")
         print(f"T={m['temp']:.3f}  E/N={m['energy']:+.4f}  "
-              f"|m|={m['magnetization']:.4f}")
+              f"|m|={m['magnetization']:.4f}  <|q|>={aq:.4f}")
+    if q_samples[0]:
+        print(f"cold-rung overlap Binder g = {binder_g(q_samples[0]):.3f} "
+              f"(1 = frozen, 0 = paramagnet)")
 
     # Same total sweeps, same realization, single cold temperature.
     quench = Simulation(cfg)

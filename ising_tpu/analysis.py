@@ -218,3 +218,18 @@ def binder_crossing(temps, u4_by_size: dict[int, np.ndarray]) -> float:
             f = d[i] / (d[i] - d[i + 1])
             return float(t[i] + f * (t[i + 1] - t[i]))
     return float("nan")
+
+
+def binder_g(q_samples) -> float:
+    """Spin-glass Binder ratio g = (3 - <q^4>/<q^2>^2) / 2 over replica-
+    overlap samples (Simulation.overlap_with / tempering.replica_overlap):
+    -> 1 in the frozen phase (P(q) peaked at +-q_EA), -> 0 in the
+    paramagnet (Gaussian P(q)); curves for different sizes cross at T_SG.
+    Jackknife-compatible like binder_u4 (pass this to jackknife())."""
+    q = np.asarray(q_samples, np.float64)
+    if q.size == 0:
+        return float("nan")
+    m2 = float(np.mean(q ** 2))
+    if m2 == 0.0:
+        return float("nan")
+    return 0.5 * (3.0 - float(np.mean(q ** 4)) / (m2 * m2))

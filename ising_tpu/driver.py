@@ -437,6 +437,36 @@ class Simulation:
             return self.backend.row_up_counts(black, white)
         return observables.row_up_counts(*self.backend.decode(black, white))
 
+    def _overlap_neq_rows_with(self, other, row_chunk: int = 8192):
+        """Device per-row differing-spin counts vs another Simulation's
+        current state (pure, no transfer — batchable like _energy_rows).
+        Word-domain on same-storage bit1/packed pairs; otherwise streamed
+        through both states' decode."""
+        if (type(other.backend) is type(self.backend)
+                and hasattr(self.backend, "overlap_neq_rows")):
+            return self.backend.overlap_neq_rows(self.black, self.white,
+                                                 other.black, other.white)
+        return observables.overlap_neq_rows_via(
+            self._decode_rows, other._decode_rows, self.cfg.nrows,
+            row_chunk=row_chunk)
+
+    def overlap_with(self, other) -> float:
+        """Edwards-Anderson replica overlap q = (1/N) sum_i s^(1)_i s^(2)_i
+        with another Simulation's current state: +1 identical, -1 opposite,
+        ~0 independent. THE spin-glass order parameter — run two sims with
+        the same quenched links (j_seed) and independent thermal seeds,
+        collect q samples for P(q) and analysis.binder_g. Exact: integer
+        XOR counts on device, float finish here. Geometry must match;
+        backends may differ (the decode path bridges storage domains).
+        Beyond the reference (optimized/main.cu:1374-1378 measures only
+        single-replica observables in -J mode)."""
+        if (self.cfg.nrows, self.cfg.ncols) != (other.cfg.nrows,
+                                                other.cfg.ncols):
+            raise ValueError("overlap needs matching lattice geometry")
+        neq = int(np.asarray(jax.device_get(
+            self._overlap_neq_rows_with(other)), np.int64).sum())
+        return 1.0 - 2.0 * neq / self.cfg.nspins
+
     def fourier_partials(self):
         """Exact (per-row, per-column) up-spin counts, as int64 numpy.
 

@@ -496,6 +496,66 @@ def packed_row_up_counts(black_w, white_w):
 
 
 # ----------------------------------------------------------------------------
+# Replica overlap: the Edwards-Anderson order parameter's integer core.
+# q = (1/N) sum_i s^(1)_i s^(2)_i = 1 - 2 * neq / N where neq counts the
+# sites where two states differ — so the device-side partial is a per-row
+# XOR count, exact integers like every other observable here. Beyond the
+# reference: its spin-glass support (-J) measures only magnetization and
+# energy of a single replica (optimized/main.cu:1374-1378); P(q) and the
+# overlap Binder ratio are THE spin-glass observables.
+
+@jax.jit
+def _neq_block(b1, w1, b2, w2):
+    return (jnp.sum((b1 ^ b2).astype(jnp.uint32), axis=1)
+            + jnp.sum((w1 ^ w2).astype(jnp.uint32), axis=1))
+
+
+def overlap_neq_rows_via(decode_a, decode_b, nrows: int,
+                         row_chunk: int = 8192):
+    """Per-row differing-spin counts between two states, streamed from
+    storage via each state's decode callback (decode(r, n) -> compact 0/1
+    byte planes for rows [r, r+n)) — O(chunk) transients at giant shapes,
+    same slab discipline as energy_rows_via."""
+    Y = nrows
+    R = min(Y, row_chunk)
+    while Y % R:
+        R -= 2
+    parts = []
+    for r in range(0, Y, R):
+        b1, w1 = decode_a(r, R)
+        b2, w2 = decode_b(r, R)
+        parts.append(_neq_block(b1, w1, b2, w2))
+        if R < Y:
+            _fence(parts[-1])
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("field_mask",))
+def _word_neq_block(b1, w1, b2, w2, field_mask: int):
+    m = jnp.uint32(field_mask)
+    return (jnp.sum(jax.lax.population_count((b1 ^ b2) & m)
+                    .astype(jnp.uint32), axis=1)
+            + jnp.sum(jax.lax.population_count((w1 ^ w2) & m)
+                      .astype(jnp.uint32), axis=1))
+
+
+def word_overlap_neq_rows(b1, w1, b2, w2, field_mask: int = 0xFFFFFFFF,
+                          row_chunk: int = 16384):
+    """Per-row differing-spin counts straight on word storage (bit1: every
+    bit is a spin; packed: mask the nibble low bits like
+    packed_row_up_counts) — XOR + popcount, no decode."""
+    Y = b1.shape[0]
+    if Y <= row_chunk:
+        return _word_neq_block(b1, w1, b2, w2, field_mask)
+    parts = []
+    for r in range(0, Y, row_chunk):
+        s = slice(r, r + row_chunk)
+        parts.append(_word_neq_block(b1[s], w1[s], b2[s], w2[s], field_mask))
+        _fence(parts[-1])
+    return jnp.concatenate(parts)
+
+
+# ----------------------------------------------------------------------------
 # Column-axis partials: the Fourier-magnetization inputs. Per-column up
 # counts are the column twin of row_up_counts; together they carry the exact
 # integer content of m(0) and of the smallest-wavevector magnetization

@@ -611,6 +611,12 @@ class Bit1Backend:
         from ..observables import bit1_col_up_counts
         return bit1_col_up_counts(black_store, white_store)
 
+    def overlap_neq_rows(self, b1, w1, b2, w2):
+        """Per-row differing-spin counts between two states' word storage
+        (XOR + popcount; the Edwards-Anderson overlap's integer core)."""
+        from ..observables import word_overlap_neq_rows
+        return word_overlap_neq_rows(b1, w1, b2, w2)
+
     def corr_rows(self, black_store, white_store, corr_len):
         from .. import observables
         return observables.bit1_correlation_row_sums(

@@ -953,6 +953,12 @@ class PackedBackend:
         from ..observables import packed_row_up_counts
         return packed_row_up_counts(black_store, white_store)
 
+    def overlap_neq_rows(self, b1, w1, b2, w2):
+        """Per-row differing-spin counts between two states' packed words
+        (XOR masked to the nibble spin bits, like packed_row_up_counts)."""
+        from ..observables import word_overlap_neq_rows
+        return word_overlap_neq_rows(b1, w1, b2, w2, field_mask=0x11111111)
+
     def encode_jplanes(self, jplanes):
         # One packed word replaces the four bit planes (tuple of len 1 so the
         # driver/stepper can thread it like the dense backend's 4-tuple).

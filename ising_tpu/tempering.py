@@ -388,3 +388,42 @@ class ParallelTempering:
             for k, m in enumerate(self.measure()):
                 out[k].append(m["hamiltonian"])
         return [np.asarray(r, np.float64) for r in out]
+
+
+def replica_overlap(pt_a: ParallelTempering, pt_b: ParallelTempering):
+    """Per-rung Edwards-Anderson overlaps q_k between two INDEPENDENT
+    tempering ladders over the same quenched disorder.
+
+    The standard spin-glass ensemble: two replicas per (realization,
+    temperature) — same j_seed, different thermal seeds — and
+    q(T_k) = (1/N) sum_i s^(a)_i s^(b)_i compared rung by rung. Collect
+    the returned lists over rounds for P(q) histograms and the overlap
+    Binder ratio (analysis.binder_g), whose size crossings locate T_SG.
+    All K rungs' XOR row partials are fetched in ONE device_get (the
+    same batching discipline as measure()).
+
+    Raises on mismatched ladders/geometry/disorder, and on identical
+    replica seeds at any rung (the "two replicas" would be one
+    trajectory; q = 1 by construction, not physics).
+    """
+    import jax
+    import numpy as np
+    if pt_a.temps != pt_b.temps:
+        raise ValueError("ladders must share the temperature grid")
+    for k, (sa, sb) in enumerate(zip(pt_a.sims, pt_b.sims)):
+        ca, cb = sa.cfg, sb.cfg
+        if (ca.nrows, ca.ncols) != (cb.nrows, cb.ncols):
+            raise ValueError("overlap needs matching lattice geometry")
+        if (ca.j_prob or cb.j_prob) and ca.j_seed != cb.j_seed:
+            raise ValueError(
+                "replica overlap needs the SAME disorder realization: "
+                f"rung {k} has j_seed {ca.j_seed} vs {cb.j_seed}")
+        if ca.seed == cb.seed:
+            raise ValueError(
+                f"rung {k}: both ladders use thermal seed {ca.seed}; "
+                "independent replicas need distinct seeds "
+                "(pass different cfg.seed / replica_seeds)")
+    rows = jax.device_get([sa._overlap_neq_rows_with(sb)
+                           for sa, sb in zip(pt_a.sims, pt_b.sims)])
+    return [1.0 - 2.0 * int(np.asarray(r, np.int64).sum()) / s.cfg.nspins
+            for r, s in zip(rows, pt_a.sims)]
