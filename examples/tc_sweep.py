@@ -27,6 +27,7 @@ from ising_tpu.observables import replica_magnetizations
 
 def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
     u4 = {L: [] for L in sizes}
+    u4e = {L: [] for L in sizes}
     for L in sizes:
         # Pack `replicas` LxL systems into one lattice (grid as square as
         # the packed-backend divisibility allows).
@@ -52,10 +53,11 @@ def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
             # within one replica are correlated, so resample the replica
             # axis) — the right error bar for the nonlinear U4.
             _, u4_err = jackknife(np.stack(per_replica, axis=1), binder_u4)
+            u4e[L].append(max(u4_err, 1e-6))
             print(f"L={L:4d} T={t:6.4f}  <|m|>={acc.mean:8.5f}  "
                   f"U4={u4[L][-1]:8.5f} +- {u4_err:.5f}  "
                   f"({acc.n} samples)", flush=True)
-    return u4
+    return u4, u4e
 
 
 def main(argv=None):
@@ -74,11 +76,25 @@ def main(argv=None):
 
     sizes = [int(s) for s in args.sizes.split(",")]
     temps = np.linspace(args.tmin, args.tmax, args.ntemps)
-    u4 = sweep(sizes, temps, args.replicas, args.warmup, args.measure,
-               args.every, args.backend, args.seed)
+    u4, u4e = sweep(sizes, temps, args.replicas, args.warmup, args.measure,
+                    args.every, args.backend, args.seed)
     tc = binder_crossing(temps, {L: np.asarray(v) for L, v in u4.items()})
     print(f"\nBinder crossing estimate: Tc ~ {tc:.4f} "
           f"(exact {TCRIT:.6f}, error {abs(tc - TCRIT) / TCRIT * 100:.2f}%)")
+    # Full finite-size-scaling fit: collapse U4(T, L) onto one master
+    # curve over (Tc, nu) (exact 2D Ising: nu = 1). Needs overlapping
+    # scaled windows — a very coarse grid may not provide them.
+    from ising_tpu.analysis import fit_collapse
+    try:
+        fit = fit_collapse({L: (temps, np.asarray(u4[L]), np.asarray(u4e[L]))
+                            for L in sizes},
+                           tc0=tc if np.isfinite(tc) else TCRIT, nu0=1.0,
+                           errors=True)
+        print(f"scaling collapse: Tc = {fit['tc']:.4f} +- {fit['tc_err']:.4f}"
+              f"  nu = {fit['nu']:.3f} +- {fit['nu_err']:.3f}"
+              f"  (quality S = {fit['quality']:.2f}; exact nu = 1)")
+    except ValueError as e:
+        print(f"scaling collapse skipped: {e}")
     return 0
 
 

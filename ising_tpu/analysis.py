@@ -233,3 +233,123 @@ def binder_g(q_samples) -> float:
     if m2 == 0.0:
         return float("nan")
     return 0.5 * (3.0 - float(np.mean(q ** 4)) / (m2 * m2))
+
+
+def _scaled_sets(data, tc: float, nu: float, zeta: float):
+    sets = []
+    for L, (temps, y, dy) in sorted(data.items()):
+        t = np.asarray(temps, np.float64)
+        yy = np.asarray(y, np.float64)
+        ee = np.asarray(dy, np.float64)
+        if not (t.shape == yy.shape == ee.shape):
+            raise ValueError(f"L={L}: temps/y/dy must align")
+        if np.any(ee <= 0):
+            raise ValueError(f"L={L}: error bars must be > 0")
+        s = float(L) ** (-zeta)
+        sets.append((t - tc) * float(L) ** (1.0 / nu))
+        sets[-1] = (sets[-1], yy * s, ee * s)
+    return sets
+
+
+def collapse_quality(data, tc: float, nu: float, zeta: float = 0.0) -> float:
+    """Quality S of a finite-size scaling collapse (Houdayer & Hartmann,
+    PRB 70, 014418 (2004) — the standard objective, cf. pyfssa).
+
+    data: {L: (temps, y, dy)} measured curves with error bars, one per
+    lattice size. Each point is scaled to x = (T - Tc) L^(1/nu),
+    y' = y L^(-zeta) (zeta = 0 for dimensionless observables like U4,
+    g, xi_L/L; gamma/nu for chi). For every point the master curve is
+    estimated by an error-weighted linear fit through the bracketing
+    points of the OTHER sizes, and S is the mean squared deviation in
+    units of the combined uncertainty: S ~ 1 at the true parameters,
+    growing as the collapse degrades. Points whose x falls outside every
+    other size's range are skipped (ends of the window).
+    """
+    if len(data) < 2:
+        raise ValueError("need curves for at least two lattice sizes")
+    sets = _scaled_sets(data, tc, nu, zeta)
+    total, count = 0.0, 0
+    for i, (xi, yi, ei) in enumerate(sets):
+        for xj, yj, ej in zip(xi, yi, ei):
+            sx, sy, sw = [], [], []
+            for i2, (x2, y2, e2) in enumerate(sets):
+                if i2 == i:
+                    continue
+                below = np.flatnonzero(x2 <= xj)
+                above = np.flatnonzero(x2 >= xj)
+                if not (below.size and above.size):
+                    continue  # this size does not bracket xj: no
+                    # one-sided extrapolation from far-away points
+                for idx in {below[np.argmax(x2[below])],
+                            above[np.argmin(x2[above])]}:
+                    sx.append(x2[idx])
+                    sy.append(y2[idx])
+                    sw.append(1.0 / (e2[idx] * e2[idx]))
+            if len(sx) < 2:
+                continue
+            sx = np.asarray(sx)
+            sy = np.asarray(sy)
+            sw = np.asarray(sw)
+            K, Kx, Ky = sw.sum(), (sw * sx).sum(), (sw * sy).sum()
+            Kxx, Kxy = (sw * sx * sx).sum(), (sw * sx * sy).sum()
+            delta = K * Kxx - Kx * Kx
+            if delta <= 0:
+                continue
+            yhat = (Kxx * Ky - Kx * Kxy + xj * (K * Kxy - Kx * Ky)) / delta
+            var = (Kxx - 2.0 * xj * Kx + xj * xj * K) / delta
+            total += (yj - yhat) ** 2 / (ej * ej + var)
+            count += 1
+    if count == 0:
+        raise ValueError("no overlapping scaled windows between sizes — "
+                         "the temperature ranges do not collapse onto a "
+                         "common x interval at these parameters")
+    return total / count
+
+
+def fit_collapse(data, tc0: float, nu0: float, zeta0: float | None = None,
+                 errors: bool = False):
+    """Minimize collapse_quality over (Tc, nu[, zeta]) by Nelder-Mead.
+
+    Returns {"tc", "nu", ("zeta",) "quality"(, "tc_err", "nu_err",
+    "zeta_err")}. Error bars (errors=True) are the Houdayer-Hartmann
+    one-parameter half-widths where S crosses S_min + 1, found by
+    bisection with the other parameters fixed at the optimum.
+    """
+    from scipy.optimize import minimize
+    fit_zeta = zeta0 is not None
+    p0 = [tc0, nu0] + ([zeta0] if fit_zeta else [])
+
+    def S(p):
+        if p[1] <= 0.05:  # nu -> 0 blows up the scaled x axis
+            return 1e30
+        try:
+            return collapse_quality(data, p[0], p[1],
+                                    p[2] if fit_zeta else 0.0)
+        except ValueError:
+            return 1e30   # windows stopped overlapping: reject the step
+
+    res = minimize(S, p0, method="Nelder-Mead",
+                   options={"xatol": 1e-6, "fatol": 1e-9, "maxiter": 2000})
+    out = {"tc": float(res.x[0]), "nu": float(res.x[1]),
+           "quality": float(res.fun)}
+    if fit_zeta:
+        out["zeta"] = float(res.x[2])
+    if errors:
+        smin = res.fun
+        for k, name in enumerate(["tc", "nu"] + (["zeta"] if fit_zeta
+                                                 else [])):
+            step = max(0.01 * abs(res.x[k]), 1e-3)
+            hi = step
+            while S(np.r_[res.x[:k], res.x[k] + hi,
+                          res.x[k + 1:]]) < smin + 1.0 and hi < 1e3:
+                hi *= 2.0
+            lo = 0.0
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                if S(np.r_[res.x[:k], res.x[k] + mid,
+                           res.x[k + 1:]]) < smin + 1.0:
+                    lo = mid
+                else:
+                    hi = mid
+            out[name + "_err"] = 0.5 * (lo + hi)
+    return out

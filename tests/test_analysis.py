@@ -143,3 +143,62 @@ def test_specific_heat_identity():
     acc.add(e)
     want = 100 * (np.mean(e ** 2) - np.mean(e) ** 2) / 1.5 ** 2
     assert acc.specific_heat(100, 1.5) == pytest.approx(want)
+
+
+# ---- finite-size scaling collapse (Houdayer-Hartmann) ----------------------
+
+def _synthetic_collapse(tc=2.269, nu=1.0, zeta=0.0, noise=0.01, seed=0):
+    """Curves generated FROM a known scaling function F(x) = .6 - .4 tanh x
+    with iid Gaussian noise of known size — quality ~ 1 at the truth."""
+    rng = np.random.default_rng(seed)
+    data = {}
+    for L in (8, 16, 32, 64):
+        temps = np.linspace(tc - 0.25, tc + 0.25, 31)
+        x = (temps - tc) * L ** (1.0 / nu)
+        y = L ** zeta * (0.6 - 0.4 * np.tanh(x))
+        dy = np.full_like(y, noise * max(1.0, L ** zeta))
+        data[L] = (temps, y + rng.normal(0.0, dy), dy)
+    return data
+
+
+def test_collapse_quality_at_truth_is_order_one():
+    from ising_tpu.analysis import collapse_quality
+    data = _synthetic_collapse()
+    s_true = collapse_quality(data, 2.269, 1.0)
+    assert 0.4 < s_true < 2.5
+    # degrading either parameter must blow S up
+    assert collapse_quality(data, 2.32, 1.0) > 5.0 * s_true
+    assert collapse_quality(data, 2.269, 1.6) > 5.0 * s_true
+
+
+def test_fit_collapse_recovers_parameters():
+    from ising_tpu.analysis import fit_collapse
+    data = _synthetic_collapse(seed=3)
+    out = fit_collapse(data, tc0=2.24, nu0=1.2, errors=True)
+    assert abs(out["tc"] - 2.269) < 3.0 * out["tc_err"] + 1e-3
+    assert abs(out["nu"] - 1.0) < 3.0 * out["nu_err"] + 0.01
+    assert out["quality"] < 2.5
+    assert 0 < out["tc_err"] < 0.02 and 0 < out["nu_err"] < 0.2
+
+
+def test_fit_collapse_with_scaling_dimension():
+    from ising_tpu.analysis import fit_collapse
+    # chi-type observable: y = L^zeta F(x), zeta = 1.75 (2D Ising gamma/nu)
+    data = _synthetic_collapse(zeta=1.75, noise=0.005, seed=5)
+    out = fit_collapse(data, tc0=2.25, nu0=1.1, zeta0=1.6)
+    assert abs(out["tc"] - 2.269) < 0.01
+    assert abs(out["nu"] - 1.0) < 0.1
+    assert abs(out["zeta"] - 1.75) < 0.05
+
+
+def test_collapse_quality_validation():
+    from ising_tpu.analysis import collapse_quality
+    t = np.linspace(2.0, 2.5, 10)
+    y = np.ones(10)
+    e = np.full(10, 0.01)
+    with pytest.raises(ValueError, match="two lattice sizes"):
+        collapse_quality({8: (t, y, e)}, 2.269, 1.0)
+    with pytest.raises(ValueError, match="align"):
+        collapse_quality({8: (t, y, e), 16: (t, y[:5], e)}, 2.269, 1.0)
+    with pytest.raises(ValueError, match="> 0"):
+        collapse_quality({8: (t, y, e), 16: (t, y, 0 * e)}, 2.269, 1.0)
