@@ -246,8 +246,7 @@ def _scaled_sets(data, tc: float, nu: float, zeta: float):
         if np.any(ee <= 0):
             raise ValueError(f"L={L}: error bars must be > 0")
         s = float(L) ** (-zeta)
-        sets.append((t - tc) * float(L) ** (1.0 / nu))
-        sets[-1] = (sets[-1], yy * s, ee * s)
+        sets.append(((t - tc) * float(L) ** (1.0 / nu), yy * s, ee * s))
     return sets
 
 
