@@ -352,3 +352,22 @@ def fit_collapse(data, tc0: float, nu0: float, zeta0: float | None = None,
                     hi = mid
             out[name + "_err"] = 0.5 * (lo + hi)
     return out
+
+
+def binder_g_disorder(q2_by_realization, q4_by_realization):
+    """(g, err): disorder-averaged overlap Binder ratio
+    g = (3 - [<q^4>]_av / [<q^2>]_av^2) / 2 with jackknife errors over
+    REALIZATIONS. The correct spin-glass estimator: thermal moments are
+    averaged over disorder BEFORE the ratio is taken (a per-realization
+    binder_g averaged afterwards is a different, biased quantity), and
+    realization-to-realization scatter — not thermal noise — dominates
+    the error, so the jackknife resamples the disorder axis. Inputs are
+    per-realization thermal means of q^2 and q^4 (from
+    tempering.replica_overlap samples at one rung)."""
+    q2 = np.asarray(q2_by_realization, np.float64)
+    q4 = np.asarray(q4_by_realization, np.float64)
+    if q2.shape != q4.shape:
+        raise ValueError("need paired per-realization <q^2> and <q^4>")
+    pairs = np.stack([q2, q4], axis=1)
+    return jackknife(pairs, lambda s: 0.5 * (
+        3.0 - float(np.mean(s[:, 1])) / float(np.mean(s[:, 0])) ** 2))

@@ -147,3 +147,20 @@ def test_overlap_multidevice_matches_single():
         a.advance(4), b.advance(4)
         qs.append(a.overlap_with(b))
     assert qs[0] == qs[1]
+
+
+def test_binder_g_disorder():
+    from ising_tpu.analysis import binder_g_disorder
+    # frozen phase: every realization has <q^2> = <q^4> = 1 -> g = 1, err 0
+    g, err = binder_g_disorder(np.ones(20), np.ones(20))
+    assert g == pytest.approx(1.0) and err == pytest.approx(0.0, abs=1e-12)
+    # Gaussian P(q) per realization (paramagnet): <q^4> = 3 <q^2>^2 -> g = 0
+    rng = np.random.default_rng(8)
+    s2 = rng.uniform(0.5, 1.5, 400)      # realization-dependent width
+    g, err = binder_g_disorder(s2, 3.0 * s2 ** 2)
+    # [<q^4>] = 3 [<q^2>^2] != 3 [<q^2>]^2: disorder scatter shifts g
+    # below 0 — exactly the bias the disorder-averaged form captures.
+    expect = 0.5 * (3.0 - 3.0 * np.mean(s2 ** 2) / np.mean(s2) ** 2)
+    assert g == pytest.approx(expect, abs=4 * err + 1e-3)
+    with pytest.raises(ValueError, match="paired"):
+        binder_g_disorder(np.ones(3), np.ones(4))
