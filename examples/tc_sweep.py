@@ -53,7 +53,10 @@ def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
             # within one replica are correlated, so resample the replica
             # axis) — the right error bar for the nonlinear U4.
             _, u4_err = jackknife(np.stack(per_replica, axis=1), binder_u4)
-            u4e[L].append(max(u4_err, 1e-6))
+            # nan-safe floor (max(nan, x) is nan): a degenerate jackknife
+            # point must not poison every collapse_quality weight
+            u4e[L].append(u4_err if np.isfinite(u4_err) and u4_err > 1e-6
+                          else 1e-6)
             print(f"L={L:4d} T={t:6.4f}  <|m|>={acc.mean:8.5f}  "
                   f"U4={u4[L][-1]:8.5f} +- {u4_err:.5f}  "
                   f"({acc.n} samples)", flush=True)

@@ -306,20 +306,35 @@ def collapse_quality(data, tc: float, nu: float, zeta: float = 0.0) -> float:
 
 
 def fit_collapse(data, tc0: float, nu0: float, zeta0: float | None = None,
-                 errors: bool = False):
+                 errors: bool = False, tc_bounds=None,
+                 nu_bounds=(0.2, 10.0)):
     """Minimize collapse_quality over (Tc, nu[, zeta]) by Nelder-Mead.
 
     Returns {"tc", "nu", ("zeta",) "quality"(, "tc_err", "nu_err",
     "zeta_err")}. Error bars (errors=True) are the Houdayer-Hartmann
-    one-parameter half-widths where S crosses S_min + 1, found by
-    bisection with the other parameters fixed at the optimum.
+    one-parameter half-widths where S crosses S_min + 1 (mean of the up
+    and down crossings, found by bisection with the other parameters
+    fixed at the optimum); inf marks a direction S never constrains.
+
+    The search is BOUNDED: tc within the sampled temperature window by
+    default (a crossing outside the data cannot be measured, and S has a
+    degenerate minimum at |Tc| -> inf with nu -> inf where every scaled
+    window collapses trivially — observed on noisy two-size data), nu
+    within a generous physical range. Pass explicit bounds to widen.
     """
     from scipy.optimize import minimize
+    if tc_bounds is None:
+        all_t = np.concatenate([np.asarray(v[0], np.float64)
+                                for v in data.values()])
+        tc_bounds = (float(all_t.min()), float(all_t.max()))
     fit_zeta = zeta0 is not None
-    p0 = [tc0, nu0] + ([zeta0] if fit_zeta else [])
+    p0 = [min(max(tc0, tc_bounds[0]), tc_bounds[1]),
+          min(max(nu0, nu_bounds[0]), nu_bounds[1])] \
+        + ([zeta0] if fit_zeta else [])
 
     def S(p):
-        if p[1] <= 0.05:  # nu -> 0 blows up the scaled x axis
+        if not (tc_bounds[0] <= p[0] <= tc_bounds[1]
+                and nu_bounds[0] <= p[1] <= nu_bounds[1]):
             return 1e30
         try:
             return collapse_quality(data, p[0], p[1],
@@ -335,22 +350,34 @@ def fit_collapse(data, tc0: float, nu0: float, zeta0: float | None = None,
         out["zeta"] = float(res.x[2])
     if errors:
         smin = res.fun
-        for k, name in enumerate(["tc", "nu"] + (["zeta"] if fit_zeta
-                                                 else [])):
+
+        def half_width(k, sign):
+            """Distance from the optimum to the S = S_min + 1 crossing in
+            one direction; inf when S never crosses (the parameter is
+            unconstrained that way — report it, don't fake a width)."""
             step = max(0.01 * abs(res.x[k]), 1e-3)
             hi = step
-            while S(np.r_[res.x[:k], res.x[k] + hi,
-                          res.x[k + 1:]]) < smin + 1.0 and hi < 1e3:
+            while S(np.r_[res.x[:k], res.x[k] + sign * hi,
+                          res.x[k + 1:]]) < smin + 1.0:
                 hi *= 2.0
+                if hi > 1e3:
+                    return float("inf")
             lo = 0.0
             for _ in range(60):
                 mid = 0.5 * (lo + hi)
-                if S(np.r_[res.x[:k], res.x[k] + mid,
+                if S(np.r_[res.x[:k], res.x[k] + sign * mid,
                            res.x[k + 1:]]) < smin + 1.0:
                     lo = mid
                 else:
                     hi = mid
-            out[name + "_err"] = 0.5 * (lo + hi)
+            return 0.5 * (lo + hi)
+
+        for k, name in enumerate(["tc", "nu"] + (["zeta"] if fit_zeta
+                                                 else [])):
+            up, dn = half_width(k, +1.0), half_width(k, -1.0)
+            # symmetric one-sigma analog: mean of the two half-widths;
+            # inf survives the mean, flagging an unconstrained direction
+            out[name + "_err"] = 0.5 * (up + dn)
     return out
 
 

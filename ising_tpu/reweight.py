@@ -20,7 +20,7 @@ binning-width systematic entirely. Everything is log-space (log-sum-exp)
 so absolute energies of giant lattices (|E| ~ 1e10) cannot overflow.
 
 Units: energies are TOTAL Hamiltonians H (e.g. `-Simulation.energy_total()`
-or tempering.measure()'s "energy_total" — NOT the per-spin energy());
+or tempering.measure()'s "hamiltonian" — NOT the per-spin energy());
 temperatures are in units of J/k_B like everywhere else in the package.
 """
 
@@ -119,20 +119,24 @@ def reweight_curve(energies, temp_from: float, temps,
     ESS falls below min_ess are nan rather than an exception, so a curve
     can honestly span past its own validity window and show where it ends.
     """
+    E = np.asarray(energies, np.float64).ravel()
+    if E.size == 0:
+        raise ValueError("need at least one sample")
+    O = E if observable is None else np.asarray(observable, np.float64)
+    if O.shape[0] != E.size:
+        raise ValueError("observable and energies must align on axis 0")
+    if O.ndim > 1:
+        raise ValueError("reweight_curve builds scalar curves; use "
+                         "reweight() per temperature for array observables")
     temps = np.asarray(temps, np.float64)
     est = np.full(temps.shape, np.nan)
     ess = np.zeros(temps.shape)
     for i, t in enumerate(temps.ravel()):
-        try:
-            e, s = reweight(energies, temp_from, float(t),
-                            observable=observable, min_ess=min_ess)
-        except ValueError:
-            ess.ravel()[i] = effective_sample_size(
-                _log_weights_single(np.asarray(energies, np.float64).ravel(),
-                                    temp_from, float(t)))
-            continue
-        est.ravel()[i] = e
+        lw = _log_weights_single(E, temp_from, float(t))
+        s = effective_sample_size(lw)
         ess.ravel()[i] = s
+        if s >= min_ess:  # low-ESS points stay nan, no exception
+            est.ravel()[i] = float(_weighted_mean(lw, O))
     return est, ess
 
 
@@ -180,11 +184,22 @@ class Wham:
         out = _weighted_mean(lw, O)
         return (float(out) if np.ndim(out) == 0 else out), ess
 
-    def energy_moments(self, temp: float) -> tuple[float, float]:
-        """(<E>, <E^2>) at temp — the specific-heat ingredients."""
-        e1, _ = self.expectation(temp)
-        e2, _ = self.expectation(temp, self.energies ** 2)
-        return e1, e2
+    def energy_moments(self, temp: float,
+                       min_ess: float = 10.0) -> tuple[float, float]:
+        """(<E>, <E^2>) at temp — the specific-heat ingredients, from ONE
+        weight pass (this sits inside golden-section/jackknife loops, so
+        recomputing the logsumexp per moment would double the cost)."""
+        lw = self.log_weights(temp)
+        ess = effective_sample_size(lw)
+        if ess < min_ess:
+            raise ValueError(
+                f"T={temp} has effective sample size {ess:.2f} < {min_ess}; "
+                f"outside the ladder's overlap window "
+                f"[{self.temps.min()}, {self.temps.max()}].")
+        w = np.exp(lw - np.max(lw))
+        s = float(np.sum(w))
+        we = w * self.energies
+        return float(np.sum(we)) / s, float(np.sum(we * self.energies)) / s
 
     def specific_heat(self, temp: float, nspins: int) -> float:
         """C/N = (<E^2> - <E>^2) / (N T^2) from the pooled ensemble."""

@@ -414,15 +414,21 @@ def replica_overlap(pt_a: ParallelTempering, pt_b: ParallelTempering):
         ca, cb = sa.cfg, sb.cfg
         if (ca.nrows, ca.ncols) != (cb.nrows, cb.ncols):
             raise ValueError("overlap needs matching lattice geometry")
-        if (ca.j_prob or cb.j_prob) and ca.j_seed != cb.j_seed:
+        if (ca.j_prob, ca.j_seed) != (cb.j_prob, cb.j_seed):
             raise ValueError(
                 "replica overlap needs the SAME disorder realization: "
-                f"rung {k} has j_seed {ca.j_seed} vs {cb.j_seed}")
-        if ca.seed == cb.seed:
-            raise ValueError(
-                f"rung {k}: both ladders use thermal seed {ca.seed}; "
-                "independent replicas need distinct seeds "
-                "(pass different cfg.seed / replica_seeds)")
+                f"rung {k} has (j_prob, j_seed) = "
+                f"({ca.j_prob}, {ca.j_seed}) vs ({cb.j_prob}, {cb.j_seed})")
+    # Seed disjointness must hold GLOBALLY, not rung-by-rung: swaps move
+    # configurations across rungs, so any shared stream anywhere couples
+    # the two "independent" ladders' trajectories.
+    shared = ({s.cfg.seed for s in pt_a.sims}
+              & {s.cfg.seed for s in pt_b.sims})
+    if shared:
+        raise ValueError(
+            f"ladders share thermal seed(s) {sorted(shared)}; independent "
+            "replicas need globally distinct seeds on every rung "
+            "(pass different cfg.seed / replica_seeds)")
     rows = jax.device_get([sa._overlap_neq_rows_with(sb)
                            for sa, sb in zip(pt_a.sims, pt_b.sims)])
     return [1.0 - 2.0 * int(np.asarray(r, np.int64).sum()) / s.cfg.nspins

@@ -127,6 +127,18 @@ def test_replica_overlap_validation():
         sweeps_per_swap=1)
     with pytest.raises(ValueError, match="temperature grid"):
         replica_overlap(pa, other_grid)
+    # same j_seed but different j_prob = a different Hamiltonian
+    other_p = ParallelTempering(
+        SimConfig(nrows=16, ncols=64, temp=1.0, seed=500, backend="packed",
+                  j_prob=0.3, j_seed=31), [0.8, 1.2, 1.8],
+        sweeps_per_swap=1)
+    with pytest.raises(ValueError, match="SAME disorder"):
+        replica_overlap(pa, other_p)
+    # cross-rung stream collision: ladder B's rung-0 seed equals A's
+    # rung-1 seed (default spacing is 1000003); swaps migrate
+    # configurations, so rung-wise checks would miss this
+    with pytest.raises(ValueError, match="share thermal seed"):
+        replica_overlap(pa, _ladder(100 + 1000003))
 
 
 def test_binder_g_limits():

@@ -110,6 +110,9 @@ def test_reweight_curve_nans_outside_window():
     assert np.isnan(est[0]) and np.isnan(est[-1])
     assert np.all(np.isfinite(est[1:4]))
     assert ess[2] == pytest.approx(2000, rel=1e-9)
+    # programming errors raise upfront instead of becoming all-nan curves
+    with pytest.raises(ValueError, match="align"):
+        reweight_curve(E, 1.0, temps, observable=E[:5])
 
 
 TEMPS = (2.0, 2.5, 3.0)
