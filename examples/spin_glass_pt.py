@@ -45,6 +45,8 @@ def main(argv=None):
     ap.add_argument("--rounds", type=int, default=60)
     ap.add_argument("--sweeps", type=int, default=4)
     ap.add_argument("--jprob", type=float, default=0.5)
+    ap.add_argument("--realizations", type=int, default=1,
+                    help="disorder realizations for [g]_av (cold rung)")
     ap.add_argument("--backend", default="xla")
     ap.add_argument("--seed", type=int, default=463463564571)
     args = ap.parse_args(argv)
@@ -108,6 +110,38 @@ def main(argv=None):
     print(f"cold rung T={temps[0]:.3f}: tempered E/N = {e_pt:+.4f}  "
           f"vs single-T quench E/N = {e_q:+.4f}  "
           f"({'tempering lower' if e_pt < e_q else 'quench lower'})")
+
+    # Disorder averaging: more realizations on the SAME tuned ladder,
+    # each with its own quenched links and thermal streams; the
+    # disorder-averaged overlap Binder [g]_av with realization-jackknife
+    # errors is the published SG quantity (analysis.binder_g_disorder).
+    if args.realizations > 1 and q_samples[0]:
+        from ising_tpu.analysis import binder_g_disorder
+        q2s = [float(np.mean(np.square(q_samples[0])))]
+        q4s = [float(np.mean(np.power(q_samples[0], 4)))]
+        for r in range(1, args.realizations):
+            # thermal-seed stride 20000038 is not a multiple of the rung
+            # spacing 1000003 (prime), so no stream is reused across
+            # realizations or rungs either
+            cfg_r = dataclasses.replace(cfg, j_seed=args.seed + 7919 * r,
+                                        seed=cfg.seed + r * 20000038)
+            pa = ParallelTempering(cfg_r, pt.temps,
+                                   sweeps_per_swap=args.sweeps)
+            pb = ParallelTempering(
+                dataclasses.replace(cfg_r, seed=cfg_r.seed + 1), pt.temps,
+                sweeps_per_swap=args.sweeps)
+            pa.run(tune)
+            pb.run(tune)
+            qs = []
+            for _ in range(args.rounds - tune):
+                pa.advance_round()
+                pb.advance_round()
+                qs.append(replica_overlap(pa, pb)[0])
+            q2s.append(float(np.mean(np.square(qs))))
+            q4s.append(float(np.mean(np.power(qs, 4))))
+        g_av, g_err = binder_g_disorder(q2s, q4s)
+        print(f"disorder-averaged cold-rung Binder [g]_av = {g_av:.3f} "
+              f"+- {g_err:.3f}  ({args.realizations} realizations)")
     return e_pt, e_q
 
 

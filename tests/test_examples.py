@@ -39,9 +39,10 @@ def test_giant_lattice_tiny():
 
 def test_spin_glass_pt_tiny():
     out = _run_path("examples/spin_glass_pt.py",
-                    ["--size", "16", "--rungs", "3", "--rounds", "4",
-                     "--sweeps", "2"])
+                    ["--size", "16", "--rungs", "3", "--rounds", "8",
+                     "--sweeps", "2", "--realizations", "2"])
     assert "pair acceptance:" in out and "cold rung" in out
+    assert "<|q|>" in out and "[g]_av" in out
 
 
 def test_xi_scan_tiny():
