@@ -54,16 +54,18 @@ def main(argv=None):
     temps = np.linspace(TCRIT * (1 - args.trange),
                         TCRIT * (1 + args.trange), args.ntemps)
 
-    curves = {}
+    curves, errs = {}, {}
     for L in sizes:
-        row = []
+        row, erow = [], []
         for T in temps:
             x, e = xi_over_L(L, T, args.warmup, args.samples,
                              args.seed + L)
             row.append(x)
+            erow.append(e if np.isfinite(e) and e > 1e-6 else 1e-6)
             print(f"L={L:4d} T={T:.4f}  xi/L = {x:7.4f} +- {e:.4f}",
                   flush=True)
         curves[L] = np.asarray(row)
+        errs[L] = np.asarray(erow)
 
     # crossing of the two largest sizes (linear interpolation on the
     # difference, like analysis.binder_crossing)
@@ -77,6 +79,18 @@ def main(argv=None):
             break
     print(f"xi/L crossing estimate: Tc = {tc:.4f} "
           f"(exact {TCRIT:.4f}, err {abs(tc - TCRIT):.4f})")
+    # xi_L/L is dimensionless: the same scaling-collapse fit as tc_sweep
+    # (zeta = 0) turns the scan into (Tc, nu) with honest error bars.
+    from ising_tpu.analysis import fit_collapse
+    try:
+        fit = fit_collapse({L: (temps, curves[L], errs[L]) for L in sizes},
+                           tc0=tc if np.isfinite(tc) else TCRIT, nu0=1.0,
+                           errors=True)
+        print(f"scaling collapse: Tc = {fit['tc']:.4f} +- {fit['tc_err']:.4f}"
+              f"  nu = {fit['nu']:.3f} +- {fit['nu_err']:.3f}"
+              f"  (quality S = {fit['quality']:.2f}; exact nu = 1)")
+    except ValueError as e:
+        print(f"scaling collapse skipped: {e}")
     return 0
 
 
