@@ -113,9 +113,9 @@ def packed_rows_to_words(packed, W1: int):
     return w.reshape(Y, W1)
 
 
-def _neighbor_class_masks(me, up, dn, same, off):
-    """Bit-plane predicates (ge3, ge4, eq2) of the mirrored count
-    e = b ? n : 4 - n, from the 4-input bit-sliced adder n = n2 n1 n0."""
+def _neighbor_adder(up, dn, same, off):
+    """4-input bit-sliced carry-save adder: neighbor-up count n = n2 n1 n0
+    as three bit planes (11 bitwise ops per 32 spins)."""
     t0 = up ^ dn
     c0 = up & dn
     t1 = same ^ off
@@ -124,6 +124,13 @@ def _neighbor_class_masks(me, up, dn, same, off):
     c2 = t0 & t1
     n1 = c0 ^ c1 ^ c2
     n2 = (c0 & c1) | (c2 & (c0 ^ c1))  # n == 4 (majority of carries)
+    return n0, n1, n2
+
+
+def _neighbor_class_masks(me, up, dn, same, off):
+    """Bit-plane predicates (ge3, ge4, eq2) of the mirrored count
+    e = b ? n : 4 - n, from the bit-sliced adder (h = 0 fast path)."""
+    n0, n1, n2 = _neighbor_adder(up, dn, same, off)
     # e >= 3  <=>  b ? n >= 3 : n <= 1;   e >= 4  <=>  b ? n == 4 : n == 0
     n_ge3 = n2 | (n1 & n0)
     n_le1 = ~(n2 | n1)
@@ -191,12 +198,72 @@ def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
             a8 if a8 is not None else zero, coin)
 
 
+def _bitserial_field_flip(draws, me, n0, n1, n2, W1: int, kbits: int,
+                          tvals10: tuple, always10: int):
+    """Flip plane for the external-field accept (the 10-class bit-serial
+    path; contract: models.ising.field_kbit_thresholds).
+
+    h != 0 breaks the mirror symmetry behind _bitserial_lt_planes' two
+    accumulator chains, but the bit-serial machinery generalizes: instead
+    of per-class chains, build per-PLANE threshold-bit masks T_z = OR of
+    the stochastic class masks whose static k-bit threshold has bit z set,
+    and drive ONE strict less-than accumulator with a per-spin threshold:
+
+        lt' = (T_z & ~u) | (~(T_z ^ u) & lt)      (LSB-first)
+
+    Every spin belongs to exactly one (own bit, neighbor count) class;
+    deterministic classes (dE <= 0, the `always10` mask) flip outright
+    and contribute to no T_z, so their lt stays 0 and
+    flip = always_mask | lt. Cost: ~6 vector ops per plane plus the
+    one-off class masks — vs 3/plane for the h = 0 two-threshold chains.
+    """
+    notme = ~me
+    n_eq = (
+        ~n2 & ~n1 & ~n0,   # n == 0
+        ~n2 & ~n1 & n0,    # n == 1
+        ~n2 & n1 & ~n0,    # n == 2
+        n1 & n0,           # n == 3 (n2 = 1 only at n = 4, where n1 = n0 = 0)
+        n2,                # n == 4
+    )
+    stoch = []             # (class mask, static threshold) for p < 1
+    amask = None
+    for cls in range(10):
+        m = (me if cls >= 5 else notme) & n_eq[cls % 5]
+        if (always10 >> cls) & 1:
+            amask = m if amask is None else (amask | m)
+        elif tvals10[cls]:
+            stoch.append((m, tvals10[cls]))
+        # p rounding to 0: the class never flips; contributes nothing.
+    planes = [draws[:, z * W1:(z + 1) * W1] for z in range(kbits)]
+    lt = None
+    for z in range(kbits):
+        members = [m for m, t in stoch if (t >> z) & 1]
+        u = planes[z]
+        if not members:
+            # T_z == 0 everywhere: lt' = ~u & lt.
+            lt = None if lt is None else (lt & ~u)
+            continue
+        T = members[0]
+        for m in members[1:]:
+            T = T | m
+        nu = ~u
+        lt = (T & nu) if lt is None else ((T & nu) | (~(T ^ u) & lt))
+    zero = jnp.zeros_like(me)
+    if lt is None:
+        lt = zero
+    if amask is None:
+        amask = zero
+    return amask | lt
+
+
 def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                  *rest, color: int, row_block: int, seed: int,
                  rng_mode: str, interp: bool, greedy: bool,
                  disorder: bool = False, split_links: bool = False,
                  csl: int | None = None,
-                 t4k: int = 0, t8k: int = 0, kbits: int = 24):
+                 t4k: int = 0, t8k: int = 0, kbits: int = 24,
+                 grows: int = 0, tvals10: tuple | None = None,
+                 always10: int = 0):
     out_ref = rest[-1]
     BY = row_block
     W1 = dst_ref.shape[1]
@@ -289,8 +356,6 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         same = same ^ j_same
         off = off ^ j_off
 
-    ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, same, off)
-
     tag = TAG_SWEEP | color
     family, rounds = parse_rng_mode(rng_mode)
     kplanes = plane_bits(rng_mode)
@@ -307,18 +372,29 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         cols = kbits * W1
         if family == "philox":
             draws = _philox_draw_block(params_ref, BY, cols, BY, seed, tag,
-                                       blk=i, rounds=rounds)
+                                       blk=i, rounds=rounds, grows=grows)
         elif family == "threefry":
             draws = _threefry_draw_block(params_ref, BY, cols, BY, seed,
-                                         tag, blk=i, rounds=rounds)
+                                         tag, blk=i, rounds=rounds,
+                                         grows=grows)
         elif family == "chacha":
             draws = _chacha_draw_block(params_ref, BY, cols, BY, seed,
-                                       tag, blk=i, rounds=rounds)
+                                       tag, blk=i, rounds=rounds,
+                                       grows=grows)
         elif interp:
             draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
                                        tag | 0x8000, blk=i)
         else:
             draws = _hw_draw_block(params_ref, BY, cols, seed, tag, blk=i)
+        if tvals10 is not None:
+            # External field: 10-class bit-serial accept (the generic
+            # table covers T <= 0 too, so no greedy branch here).
+            n0, n1, n2 = _neighbor_adder(up, dn, same, off)
+            flip = _bitserial_field_flip(draws, me, n0, n1, n2, W1, kbits,
+                                         tvals10, always10)
+            out_ref[...] = me ^ flip
+            return
+        ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, same, off)
         lt4, lt8, coin = _bitserial_lt_planes(draws, W1, kbits, t4k, t8k)
         if greedy:
             flip = ((~ge3 & ~eq2) | (eq2 & coin)
@@ -331,15 +407,16 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
     # Counter modes: per-spin u32 draws, same contract and column order as
     # every other backend (draw column c of the (BY, C) block = compact
     # col c; the lane-group slice g*W1..(g+1)*W1 is bit-group g's columns).
+    ge3, ge4, eq2 = _neighbor_class_masks(me, up, dn, same, off)
     if family == "philox":
         draws = _philox_draw_block(params_ref, BY, C, BY, seed, tag,
-                                   blk=i, rounds=rounds)
+                                   blk=i, rounds=rounds, grows=grows)
     elif family == "chacha":
         draws = _chacha_draw_block(params_ref, BY, C, BY, seed, tag,
-                                   blk=i, rounds=rounds)
+                                   blk=i, rounds=rounds, grows=grows)
     else:
         draws = _threefry_draw_block(params_ref, BY, C, BY, seed, tag,
-                                     blk=i, rounds=rounds)
+                                     blk=i, rounds=rounds, grows=grows)
 
     bias = jnp.uint32(0x80000000)
     t4b = (thr_ref[8] ^ bias).astype(jnp.int32)
@@ -380,13 +457,14 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "color", "seed", "rng_mode", "interpret", "greedy", "csl", "ysl",
-    "split_links", "t4k", "t8k", "kbits"))
+    "split_links", "t4k", "t8k", "kbits", "grows", "tvals10", "always10"))
 def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
                *, color: int, seed: int, rng_mode: str = "threefry13",
                interpret: bool = False, greedy: bool = False,
                csl: int | None = None, ysl: int | None = None,
                split_links: bool = False,
-               t4k: int = 0, t8k: int = 0, kbits: int = 24):
+               t4k: int = 0, t8k: int = 0, kbits: int = 24, grows: int = 0,
+               tvals10: tuple | None = None, always10: int = 0):
     """One color half-sweep over the 1-bit (H, W1) plane.
 
     jplanes: optional disorder planes in the same (H, W1) word layout —
@@ -439,7 +517,8 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
         _bit1_kernel, color=color, row_block=BY, seed=seed,
         rng_mode=rng_mode, interp=interpret, greedy=greedy,
         disorder=jplanes is not None, split_links=split_links, csl=csl,
-        t4k=t4k, t8k=t8k, kbits=kbits)
+        t4k=t4k, t8k=t8k, kbits=kbits, grows=grows,
+        tvals10=tvals10, always10=always10)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                     # params
@@ -515,6 +594,12 @@ class Bit1Backend:
         self.temp_static = (parse_rng_mode(cfg.rng)[0] == "hw"
                             or self.kplanes > 0)
         self.temperature = cfg.temperature
+        # External field: the 10-class bit-serial accept (static per-class
+        # k-bit thresholds, ising.field_kbit_thresholds). Config fences
+        # field to the hw / bit-plane modes here, so temp_static always
+        # holds when field != 0. The driver updates this attribute (and
+        # rebuilds the stepper) on set_field.
+        self.field = cfg.field
         # hw accept-path precision: flip probabilities realized on a 2^-k
         # grid. k = 24 matches the reference's curand_uniform granularity
         # (optimized/main.cu:652-656); the env knob is for perf experiments
@@ -629,10 +714,15 @@ class Bit1Backend:
     def update_color(self, dst, src, *, color, thr10, step, row0=0,
                      src_up=None, src_dn=None, jplanes=None):
         t4k = t8k = 0
+        tvals10, always10 = None, 0
         if self.temp_static:
             from ..models import ising
-            t4k, t8k = ising.bernoulli_kbit_thresholds(
-                self.temperature, self.accept_bits)
+            if self.field:
+                tvals10, always10 = ising.field_kbit_thresholds(
+                    self.temperature, self.field, self.accept_bits)
+            else:
+                t4k, t8k = ising.bernoulli_kbit_thresholds(
+                    self.temperature, self.accept_bits)
         return bit1_sweep(dst, src, src_up, src_dn, thr10,
                           jnp.uint32(row0), step, jplanes, color=color,
                           seed=self.cfg.seed, rng_mode=self.cfg.rng,
@@ -640,4 +730,6 @@ class Bit1Backend:
                           csl=self.csl, ysl=self.ysl,
                           split_links=self.split_links
                           and jplanes is not None,
-                          t4k=t4k, t8k=t8k, kbits=self.accept_bits)
+                          t4k=t4k, t8k=t8k, kbits=self.accept_bits,
+                          grows=self.cfg.nrows,
+                          tvals10=tvals10, always10=always10)

@@ -71,55 +71,64 @@ def pack_jplanes(jplanes):
             | (pack_bits(j_same) << 2) | (pack_bits(j_off) << 3))
 
 
-def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                       seed: int, tag: int, blk=None, rounds: int = 10):
-    """(rows, cols) uint32 draws, identical contract to rng.color_draws."""
+def _draw_counters(params_ref, rows: int, nq: int, row_block: int, blk,
+                   grows: int):
+    """64-bit spatial counters (c0, c1) of one (rows, nq) draw block.
+
+    The counter CONTRACT is the 64-bit quad index q64 = y * nq + q (see
+    rng.quad_counters). When the caller proves the whole lattice's counter
+    space fits 32 bits (grows = global rows, grows * nq < 2^32 — true for
+    every lattice below ~2^32 counter blocks per color), the high word is
+    identically zero, so it is emitted as a traced SCALAR instead of an
+    array: c1, step and tag then enter the generators as 0-d values, whole
+    early generator rounds constant-fold onto the scalar core (ChaCha's
+    first column round runs 3 of its 4 quarter-rounds scalar — measured
+    ~11-19%% on the chacha tiers, PERF.md round 5), and the counter VALUES
+    — hence all trajectories — are bit-identical to the 64-bit path.
+    """
     i = pl.program_id(0) if blk is None else blk
     row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
-    step = params_ref[1]
-    nq = cols // 4
     y = jax.lax.broadcasted_iota(jnp.uint32, (rows, nq), 0) + row0
     q = jax.lax.broadcasted_iota(jnp.uint32, (rows, nq), 1)
+    if grows and grows * nq < (1 << 32):
+        return y * jnp.uint32(nq) + q, jnp.uint32(0)
     hi, lo = mulhilo32(y, jnp.uint32(nq))
     c0 = lo + q
     c1 = hi + (c0 < lo).astype(jnp.uint32)
+    return c0, c1
+
+
+def _philox_draw_block(params_ref, rows: int, cols: int, row_block: int,
+                       seed: int, tag: int, blk=None, rounds: int = 10,
+                       grows: int = 0):
+    """(rows, cols) uint32 draws, identical contract to rng.color_draws."""
+    c0, c1 = _draw_counters(params_ref, rows, cols // 4, row_block, blk,
+                            grows)
     k0, k1 = key_from_seed(seed)
-    o = philox4x32(c0, c1, step, jnp.uint32(tag), k0, k1, rounds)
+    o = philox4x32(c0, c1, params_ref[1], jnp.uint32(tag), k0, k1, rounds)
     return jnp.concatenate(o, axis=-1)
 
 
 def _threefry_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                         seed: int, tag: int, blk=None, rounds: int = 20):
+                         seed: int, tag: int, blk=None, rounds: int = 20,
+                         grows: int = 0):
     """(rows, cols) uint32 draws per rng.threefry_color_draws' contract."""
-    i = pl.program_id(0) if blk is None else blk
-    row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
-    step = params_ref[1]
-    g = cols // 2
-    y = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 0) + row0
-    q = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 1)
-    hi, lo = mulhilo32(y, jnp.uint32(g))
-    c0 = lo + q
-    c1 = hi + (c0 < lo).astype(jnp.uint32)
-    k0, k1 = threefry_stream_key(seed, step, tag)
+    c0, c1 = _draw_counters(params_ref, rows, cols // 2, row_block, blk,
+                            grows)
+    k0, k1 = threefry_stream_key(seed, params_ref[1], tag)
     o0, o1 = threefry2x32(c0, c1, k0, k1, rounds)
     return jnp.concatenate([o0, o1], axis=-1)
 
 
 def _chacha_draw_block(params_ref, rows: int, cols: int, row_block: int,
-                       seed: int, tag: int, blk=None, rounds: int = 8):
+                       seed: int, tag: int, blk=None, rounds: int = 8,
+                       grows: int = 0):
     """(rows, cols) uint32 draws per rng.chacha_color_draws' contract."""
     from ..rng import chacha_block
-    i = pl.program_id(0) if blk is None else blk
-    row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
-    step = params_ref[1]
-    g = cols // 16
-    y = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 0) + row0
-    q = jax.lax.broadcasted_iota(jnp.uint32, (rows, g), 1)
-    hi, lo = mulhilo32(y, jnp.uint32(g))
-    c0 = lo + q
-    c1 = hi + (c0 < lo).astype(jnp.uint32)
+    c0, c1 = _draw_counters(params_ref, rows, cols // 16, row_block, blk,
+                            grows)
     k0, k1 = key_from_seed(seed)
-    o = chacha_block(c0, c1, step, jnp.uint32(tag), k0, k1, rounds)
+    o = chacha_block(c0, c1, params_ref[1], jnp.uint32(tag), k0, k1, rounds)
     return jnp.concatenate(o, axis=-1)
 
 
@@ -136,7 +145,7 @@ def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int,
 def _metropolis_block(me, src, up_row, dn_row, params_ref, thr_ref, blk, *,
                       color: int, BY: int, W: int, seed: int, rng_mode: str,
                       interp: bool, greedy: bool, csl: int | None,
-                      full_table: bool = False):
+                      full_table: bool = False, grows: int = 0):
     """One (BY, W) packed block's Metropolis half-sweep -> updated words.
 
     `blk` is the global row-block index (traced), used for the RNG counters'
@@ -181,12 +190,12 @@ def _metropolis_block(me, src, up_row, dn_row, params_ref, thr_ref, blk, *,
     return _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk,
                             color=color, BY=BY, W=W, seed=seed,
                             rng_mode=rng_mode, interp=interp, greedy=greedy,
-                            full_table=full_table)
+                            full_table=full_table, grows=grows)
 
 
 def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
                      color, BY, W, seed, rng_mode, interp, greedy,
-                     full_table: bool = False):
+                     full_table: bool = False, grows: int = 0):
     # Whole-word neighbor sum: every 4-bit field accumulates 0..4.
     nsum = up + dn + same + off
 
@@ -207,13 +216,13 @@ def _accept_and_flip(me, up, dn, same, off, params_ref, thr_ref, blk, *,
     family, rounds = parse_rng_mode(rng_mode)
     if family == "philox":
         draws = _philox_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
-                                   blk=blk, rounds=rounds)
+                                   blk=blk, rounds=rounds, grows=grows)
     elif family == "threefry":
         draws = _threefry_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
-                                     blk=blk, rounds=rounds)
+                                     blk=blk, rounds=rounds, grows=grows)
     elif family == "chacha":
         draws = _chacha_draw_block(params_ref, BY, 8 * W, BY, seed, tag,
-                                   blk=blk, rounds=rounds)
+                                   blk=blk, rounds=rounds, grows=grows)
     elif interp:
         # The CPU interpreter has no prng_seed; substitute a salted Philox
         # stream (hw mode carries no reproducibility contract anyway).
@@ -341,7 +350,7 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
                    *rest, color: int, row_block: int, seed: int,
                    rng_mode: str, disorder: bool, csl: int | None = None,
                    interp: bool = False, greedy: bool = False,
-                   full_table: bool = False):
+                   full_table: bool = False, grows: int = 0):
     out_ref = rest[-1]
     BY = row_block
     W = dst_ref.shape[1]
@@ -386,12 +395,12 @@ def _packed_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         out_ref[...] = _accept_and_flip(
             me, up, dn, same, off, params_ref, thr_ref, i, color=color,
             BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
-            greedy=greedy, full_table=full_table)
+            greedy=greedy, full_table=full_table, grows=grows)
     else:
         out_ref[...] = _metropolis_block(
             me, src, up_row, dn_row, params_ref, thr_ref, i, color=color,
             BY=BY, W=W, seed=seed, rng_mode=rng_mode, interp=interp,
-            greedy=greedy, csl=csl, full_table=full_table)
+            greedy=greedy, csl=csl, full_table=full_table, grows=grows)
 
 
 def _fused_kernel(params_ref, thr_ref, bin_ref, wsrc_ref,
@@ -759,12 +768,12 @@ def packed_fused_step(black, white, thr10, row0, step, *, seed: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "color", "seed", "rng_mode", "interpret", "csl", "ysl", "greedy",
-    "full_table"))
+    "full_table", "grows"))
 def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
                  *, color: int, seed: int, rng_mode: str = "philox",
                  interpret: bool = False, csl: int | None = None,
                  ysl: int | None = None, greedy: bool = False,
-                 full_table: bool = False):
+                 full_table: bool = False, grows: int = 0):
     """One color half-sweep over the packed (H, W) plane."""
     import numpy as np
 
@@ -814,7 +823,7 @@ def packed_sweep(dst, src, src_up, src_dn, thr10, row0, step, jword=None,
     kernel = functools.partial(
         _packed_kernel, color=color, row_block=BY, seed=seed,
         rng_mode=rng_mode, disorder=disorder, csl=csl, interp=interpret,
-        greedy=greedy, full_table=full_table)
+        greedy=greedy, full_table=full_table, grows=grows)
 
     return pl.pallas_call(
         kernel,
@@ -972,4 +981,5 @@ class PackedBackend:
                             color=color, seed=self.cfg.seed,
                             rng_mode=self.cfg.rng, interpret=self.interpret,
                             csl=self.csl, ysl=self.ysl, greedy=self.greedy,
-                            full_table=self.full_table)
+                            full_table=self.full_table,
+                            grows=self.cfg.nrows)
