@@ -4,7 +4,10 @@ reference, which has no field term).
 Below Tc the magnetization lags the field: sweeping h from +h_max to
 -h_max and back traces the classic open loop whose area is the dissipated
 work per cycle. Uses Simulation.set_field (threshold-table swap, no
-recompile while h stays nonzero) on the xla backend's full-table path.
+recompile while h stays nonzero) on the xla backend's full-table path,
+or the bit1 flagship's 10-class bit-serial accept (--backend bit1: each
+distinct h bakes its own static thresholds — the h grid is symmetric, so
+the up leg reuses the down leg's cached kernels).
 
 Usage:
     python examples/hysteresis.py [--size 128] [--temp 1.8] [--hmax 1.0]
@@ -22,13 +25,15 @@ from ising_tpu import SimConfig
 from ising_tpu.driver import Simulation
 
 
-def loop(size, temp, hmax, steps, sweeps, seed):
+def loop(size, temp, hmax, steps, sweeps, seed, backend="xla",
+         rng="threefry13"):
     # Start saturated at +h_max; each leg nudges h and re-equilibrates
     # briefly — short on purpose: hysteresis IS the lag of m behind h.
     hs_down = np.linspace(hmax, -hmax, steps)
     hs_up = np.linspace(-hmax, hmax, steps)
     sim = Simulation(SimConfig(nrows=size, ncols=size, temp=temp,
-                               seed=seed, backend="xla", field=float(hmax)))
+                               seed=seed, backend=backend, rng=rng,
+                               field=float(hmax)))
     sim.advance(10 * sweeps)  # saturate at +h_max
     out = []
     for leg, hs in (("down", hs_down), ("up", hs_up)):
@@ -52,12 +57,21 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=21)
     ap.add_argument("--sweeps", type=int, default=60)
     ap.add_argument("--seed", type=int, default=2026)
+    ap.add_argument("--backend", default="xla",
+                    help="xla (u32 full table) or bit1 (10-class "
+                         "bit-serial accept; pick a ...b/hw rng — each "
+                         "distinct h is its own kernel variant, cached)")
+    ap.add_argument("--rng", default=None,
+                    help="rng mode (default: threefry13 for xla, "
+                         "chacha8b for bit1)")
     ap.add_argument("--png", default=None,
                     help="write a matplotlib plot of the loop")
     args = ap.parse_args(argv)
 
+    if args.rng is None:
+        args.rng = "chacha8b" if args.backend == "bit1" else "threefry13"
     pts = loop(args.size, args.temp, args.hmax, args.steps, args.sweeps,
-               args.seed)
+               args.seed, backend=args.backend, rng=args.rng)
     n = len(pts) // 2
     print(f"# hysteresis loop: {args.size}^2, T={args.temp}, "
           f"|h|<={args.hmax}")

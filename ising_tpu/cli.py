@@ -71,18 +71,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="xla",
                    choices=("xla", "dense", "packed", "bit1", "mxu"),
                    help="update kernel backend")
+    from .rng import RNG_MODES
     p.add_argument("--rng", default="threefry13",
-                   choices=("philox", "philox7", "philox7b", "threefry",
-                            "threefry13", "threefry13b", "chacha8",
-                            "chacha8b", "hw"),
-                   help="counter modes (philox[7], threefry[13]) are "
-                        "bit-reproducible everywhere; the reduced-round "
-                        "variants are the BigCrush-validated minima and "
-                        "faster; the ...b variants use the bit-plane "
-                        "contract (16 bits/spin, faster again; bit1 and "
-                        "xla backends; chacha8b is the fastest "
-                        "reproducible mode); hw = fastest native, no "
+                   choices=tuple(sorted(RNG_MODES)),
+                   help="counter modes (philox[7], threefry[13], "
+                        "chacha8/6/4) are bit-reproducible everywhere; "
+                        "reduced-round variants are the battery-validated "
+                        "minima and faster; the ...b variants use the "
+                        "bit-plane contract (16 bits/spin, faster again; "
+                        "bit1 and xla backends; chacha6b is the "
+                        "recommended fast tier, chacha4b the qualified "
+                        "maximum-speed tier); hw = fastest native, no "
                         "contract")
+    p.add_argument("--algo", default="metropolis",
+                   choices=("metropolis", "sw"),
+                   help="update algorithm: checkerboard Metropolis, or "
+                        "Swendsen-Wang cluster updates (xla backend, "
+                        "ferromagnetic couplings; -n counts SW updates — "
+                        "near Tc one SW update decorrelates like ~60 "
+                        "Metropolis sweeps)")
+    p.add_argument("--pt", default=None, metavar="T1,T2,...",
+                   help="parallel tempering over the given temperature "
+                        "ladder (replica exchange; -n counts swap ROUNDS; "
+                        "combine with -J for spin glasses). Prints "
+                        "per-rung lines at each -p event plus swap "
+                        "statistics at the end")
+    p.add_argument("--sweeps-per-swap", type=int, default=8,
+                   help="Metropolis sweeps between swap phases (--pt)")
     p.add_argument("--use-common-seed", action="store_true",
                    help="accepted for basic_python CLI parity; a no-op "
                         "because rng=philox already yields trajectories "
@@ -116,9 +131,56 @@ def config_from_args(args) -> SimConfig:
         dump_lattice=args.out, corr_out=args.corr)
 
 
+def run_pt(args) -> int:
+    """--pt entry: replica exchange over the given ladder (library:
+    tempering.ParallelTempering; -n counts swap rounds)."""
+    try:
+        temps = [float(t) for t in args.pt.split(",") if t]
+        cfg = config_from_args(args)
+        from .tempering import ParallelTempering
+        pt = ParallelTempering(cfg, temps,
+                               sweeps_per_swap=args.sweeps_per_swap)
+    except ValueError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    print("ising-tpu parallel tempering:")
+    print(f"\tlattice: {cfg.nrows} x {cfg.ncols} "
+          f"({cfg.nspins / 1e6:.1f} M spins)")
+    print(f"\tladder: {', '.join(f'{t:g}' for t in temps)}")
+    print(f"\tbackend: {cfg.backend} (rng: {cfg.rng}), "
+          f"{args.sweeps_per_swap} sweeps/swap")
+    if cfg.j_prob is not None:
+        print(f"\tdisorder: P(antiferro link) = {cfg.j_prob}")
+    print(f"\trounds: {args.nit}")
+    events = set(range(args.print_freq, args.nit + 1, args.print_freq)) \
+        if args.print_freq else set()
+    for r in range(1, args.nit + 1):
+        pt.advance_round()
+        if r in events or r == args.nit:
+            for m in pt.measure():
+                print(f"        T = {m['temp']:8.5f}  "
+                      f"magnetization: {m['magnetization']:9.6f}  "
+                      f"E/N: {m['energy']:9.6f} (round: {r:6d})")
+    st = pt.stats()
+    rates = ", ".join(f"{a:.3f}" for a in st["pair_acceptance"])
+    trips = sum(st["round_trips"])
+    print(f"Pair acceptance: [{rates}]")
+    print(f"Completed round trips: {trips} "
+          f"(replica at rung: {st['replica_at']})")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from .driver import Simulation
+
+    if args.pt:
+        return run_pt(args)
+
+    if args.algo == "sw" and (args.resume or args.checkpoint):
+        print("ERROR: --algo sw does not support --resume/--checkpoint",
+              file=sys.stderr)
+        return 1
 
     if args.resume:
         try:
@@ -131,12 +193,16 @@ def main(argv=None) -> int:
     else:
         try:
             cfg = config_from_args(args)
+            if args.algo == "sw":
+                from .cluster import SwendsenWang
+                sim = SwendsenWang(cfg)
+            else:
+                sim = Simulation(cfg)
         except ValueError as e:
             print(f"ERROR: {e}", file=sys.stderr)
             return 1
-        sim = Simulation(cfg)
 
-    print("ising-tpu run:")
+    print(f"ising-tpu run{' (Swendsen-Wang)' if args.algo == 'sw' else ''}:")
     print(f"\tlattice: {cfg.nrows} x {cfg.ncols} "
           f"({cfg.nspins / 1e6:.1f} M spins)")
     print(f"\ttemperature: {sim.temp:f} ({sim.temp / TCRIT:f} * T_crit)")

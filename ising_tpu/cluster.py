@@ -292,6 +292,37 @@ class SwendsenWang:
                                        jnp.uint32(self.step))
             self.step += 1
 
+    def block(self):
+        jax.block_until_ready(self.full)
+
+    def run(self, log=print):
+        """The reference-style measurement loop (schedules, early exit,
+        ramp, flips/ns report) over SW updates — the CLI's --algo sw
+        entry. Step counts mean SW updates, not Metropolis sweeps."""
+        from .driver import run_loop
+        return run_loop(self, log=log)
+
+    def _corr_path(self):
+        return (f"corr_{self.cfg.nrows}x{self.cfg.ncols}"
+                f"_T_{self.temp:f}_{self.cfg.seed}")
+
+    def _append_corr(self, it: int):
+        from . import observables
+        c = observables.correlation(*self.bits())
+        with open(self._corr_path(), "a") as f:
+            f.write(f"{it:10d}")
+            for val in c:
+                f.write(f" {val:< 12G}")
+            f.write("\n")
+
+    def dump(self, name: str):
+        from . import io as lio
+        lio.dump_lattice(name, *self.bits(), fmt="hex")
+
+    def _dump(self, it: int):
+        self.dump(f"lattice_{self.cfg.nrows}x{self.cfg.ncols}"
+                  f"_T_{self.temp:f}_IT_{it:08d}.txt")
+
     def bits(self):
         """Compact (black, white) planes of the current state — the same
         storage Simulation(state=...) accepts, for hybrid protocols."""

@@ -85,10 +85,12 @@ class SimConfig:
 
     # Uniform external field h: H = -sum_<ij> J_ij s_i s_j - h sum_i s_i
     # (beyond the reference, which has no field term). h enters only
-    # through the host-side acceptance table, but it breaks the
-    # b <-> (4-n) mirror symmetry the 3-threshold kernel paths exploit,
-    # so field runs need a full-table backend (xla, dense, or packed)
-    # and a u32-contract rng mode (models/ising.acceptance_probabilities).
+    # through host-side acceptance tables, but it breaks the b <-> (4-n)
+    # mirror symmetry the 3-threshold kernel paths exploit, so every
+    # class carries its own threshold: u32 full-table accept on
+    # xla/dense/packed (u32 rng modes), or the 10-class bit-serial accept
+    # on bit1 and xla (bit-plane "...b" / hw rng modes) — the flagship
+    # tier runs fields at full speed (models/ising.field_kbit_thresholds).
     field: float = 0.0
 
     # Sub-lattice replica mode: wrap periodically inside xsl x ysl tiles
@@ -162,17 +164,27 @@ class SimConfig:
         if self.j_prob is not None and not (0.0 <= self.j_prob <= 1.0):
             raise ValueError("j_prob must be in [0, 1]")
         if self.field != 0.0:
-            if self.backend not in ("xla", "dense", "packed"):
-                raise ValueError(
-                    "external field is supported on the xla, dense, and "
-                    "packed backends (full-table accept paths); the "
-                    "bit1/mxu accepts assume the h = 0 mirror symmetry")
             from .rng import plane_bits
-            if self.rng == "hw" or plane_bits(self.rng):
+            serial = self.rng == "hw" or plane_bits(self.rng) > 0
+            if self.backend == "mxu":
                 raise ValueError(
-                    "external field needs a u32-contract rng mode (the "
-                    "bit-plane/hw accept paths hard-code the h = 0 "
-                    "stochastic classes)")
+                    "external field is not supported on the mxu backend "
+                    "(its 3-threshold accept assumes the h = 0 mirror "
+                    "symmetry); use bit1, xla, dense, or packed")
+            if self.backend == "bit1" and not serial:
+                raise ValueError(
+                    "external field on the bit1 backend uses the 10-class "
+                    "bit-serial accept: pick a bit-plane rng mode "
+                    "(philox7b/threefry13b/chacha8b/...) or hw; u32 "
+                    "full-table field runs live on xla/dense/packed")
+            if self.backend in ("dense", "packed") and serial:
+                raise ValueError(
+                    "external field on the dense/packed backends needs a "
+                    "u32-contract rng mode (their full-table accepts "
+                    "consume u32 draws); bit-plane/hw field runs live on "
+                    "bit1 and xla")
+            # xla supports every rng mode: u32 full-table compare, or the
+            # same 10-class bit-serial accept as bit1 for plane/hw modes.
 
     @property
     def temperature(self) -> float:

@@ -276,11 +276,13 @@ class Simulation:
 
     def set_field(self, field: float):
         """Change the uniform external field mid-run (hysteresis/field-scan
-        protocols). Like the temperature ramp this only swaps the
-        threshold-table argument — except when h crosses zero in either
-        direction, which flips the xla backend's static full-table select
-        (a trace-time flag): the stepper is then rebuilt. Validation (xla
-        backend + u32 rng for h != 0) reuses SimConfig's."""
+        protocols). On u32 paths this only swaps the threshold-table
+        argument — except when h crosses zero in either direction, which
+        flips the xla backend's static full-table select (a trace-time
+        flag). On static-accept backends (bit1, xla plane modes: the
+        thresholds are baked into the kernel) EVERY field change is a new
+        kernel variant. Both cases rebuild the stepper; repeated values hit
+        jit's cache. Backend/rng fencing reuses SimConfig's validation."""
         field = float(field)
         if field == self.cfg.field:
             return
@@ -288,8 +290,15 @@ class Simulation:
         import dataclasses
         self.cfg = dataclasses.replace(self.cfg, field=field)
         self._thr = jnp.asarray(ising.threshold_table(self.temp, field))
-        if (field != 0.0) != was and hasattr(self.backend, "full_table"):
+        rebuild = False
+        if getattr(self.backend, "temp_static", False) and \
+                getattr(self.backend, "field", None) != field:
+            self.backend.field = field
+            rebuild = True
+        elif (field != 0.0) != was and hasattr(self.backend, "full_table"):
             self.backend.full_table = field != 0.0
+            rebuild = True
+        if rebuild:
             self.shardings, self._step_n = make_sharded_stepper(
                 self.cfg, self.backend, mesh=self.shardings["mesh"],
                 jplanes=self._jplanes)
@@ -297,83 +306,8 @@ class Simulation:
     # -- the full reference-style run -------------------------------------
 
     def run(self, log=print):
-        cfg = self.cfg
-        t_unit = cfg.temperature
+        return run_loop(self, log=log)
 
-        if cfg.nwarmup:
-            self.advance(cfg.nwarmup)
-            self.block()
-
-        # Build the measurement / temperature-event schedule.
-        events = set()
-        if cfg.print_exp and cfg.exp_thinned:
-            events.update(t for t in reference_exp_times(cfg.niters)
-                          if t <= cfg.niters)
-        elif cfg.print_exp:
-            events.update(exponential_print_steps(cfg.niters))
-        elif cfg.print_freq:
-            events.update(range(cfg.print_freq, cfg.niters + 1,
-                                cfg.print_freq))
-        temp_events = set()
-        if cfg.temp_freq:
-            temp_events.update(range(cfg.temp_freq, cfg.niters + 1,
-                                     cfg.temp_freq))
-        all_events = sorted(events | temp_events | {cfg.niters})
-
-        m0 = self.measure()
-        log(f"Initial magnetization: {m0['magnetization']:9.6f}, "
-            f"up_s: {m0['up']:12d}, dw_s: {m0['down']:12d}")
-        series = [(0, m0["magnetization"])]
-
-        self.block()
-        t0 = time.perf_counter()
-        base = self.step  # absolute step after warmup; events count from here
-        done = 0
-        stopped_early = False
-        for ev in all_events:
-            self.advance(base + ev - self.step)
-            done = ev
-            if ev in events:
-                self.block()
-                mm = self.measure()
-                series.append((ev, mm["magnetization"]))
-                log(f"        magnetization: {mm['magnetization']:9.6f}, "
-                    f"up_s: {mm['up']:12d}, dw_s: {mm['down']:12d} "
-                    f"(iter: {ev:8d})")
-                if cfg.corr_out:
-                    self._append_corr(ev)
-                if cfg.dump_lattice:
-                    self._dump(ev)
-                if cfg.tgt_magn is not None and \
-                        abs(mm["magnetization"] - cfg.tgt_magn) \
-                        < TGT_MAGN_MAX_DIFF:
-                    stopped_early = True
-                    break
-            if ev in temp_events:
-                new_t = max(MIN_TEMP, self.temp + cfg.temp_step)
-                log(f"Changing temperature to {new_t:f}")
-                self.set_temperature(new_t)
-        self.block()
-        elapsed = time.perf_counter() - t0
-
-        mf = self.measure()
-        log(f"Final   magnetization: {mf['magnetization']:9.6f}, "
-            f"up_s: {mf['up']:12d}, dw_s: {mf['down']:12d} "
-            f"(iter: {done:8d})")
-
-        flips = cfg.nspins * done
-        flips_ns = flips / (elapsed * 1e9) if elapsed > 0 else 0.0
-        # Effective lattice traffic, computed like the reference: per color
-        # phase read src + read dst + write dst (optimized/main.cu:1884-1890).
-        bps = getattr(self.backend, "bytes_per_spin", 1.0)
-        bw = flips_ns * 3.0 * bps
-        log(f"Kernel execution time for {done} update steps: "
-            f"{elapsed * 1e3:E} ms, {flips_ns:.2f} flips/ns "
-            f"(BW: {bw:.2f} GB/s)")
-        return {"steps": done, "elapsed_s": elapsed, "flips_ns": flips_ns,
-                "bw_gbs": bw, "magnetization": mf["magnetization"],
-                "stopped_early": stopped_early, "series": series,
-                "temp_final": self.temp, "alpha_unit": t_unit}
 
     # -- event actions -----------------------------------------------------
 
@@ -594,3 +528,89 @@ class Simulation:
                                              encode_packed=encode_packed)
         return cls(cfg, storage=(b, w), step0=meta["step"],
                    temp=meta["temp"])
+
+
+def run_loop(self, log=print):
+    """The reference-style measurement loop (optimized/main.cu:1762-1871),
+    duck-typed over any driver exposing the Simulation surface (cfg, temp,
+    advance, block, measure, set_temperature, optional _append_corr/_dump):
+    Simulation (Metropolis, any backend) and cluster.SwendsenWang both run
+    through it, so `-p/-e/-E/-m/-u/-o/-c` behave identically under --algo."""
+    cfg = self.cfg
+    t_unit = cfg.temperature
+
+    if cfg.nwarmup:
+        self.advance(cfg.nwarmup)
+        self.block()
+
+    # Build the measurement / temperature-event schedule.
+    events = set()
+    if cfg.print_exp and cfg.exp_thinned:
+        events.update(t for t in reference_exp_times(cfg.niters)
+                      if t <= cfg.niters)
+    elif cfg.print_exp:
+        events.update(exponential_print_steps(cfg.niters))
+    elif cfg.print_freq:
+        events.update(range(cfg.print_freq, cfg.niters + 1,
+                            cfg.print_freq))
+    temp_events = set()
+    if cfg.temp_freq:
+        temp_events.update(range(cfg.temp_freq, cfg.niters + 1,
+                                 cfg.temp_freq))
+    all_events = sorted(events | temp_events | {cfg.niters})
+
+    m0 = self.measure()
+    log(f"Initial magnetization: {m0['magnetization']:9.6f}, "
+        f"up_s: {m0['up']:12d}, dw_s: {m0['down']:12d}")
+    series = [(0, m0["magnetization"])]
+
+    self.block()
+    t0 = time.perf_counter()
+    base = self.step  # absolute step after warmup; events count from here
+    done = 0
+    stopped_early = False
+    for ev in all_events:
+        self.advance(base + ev - self.step)
+        done = ev
+        if ev in events:
+            self.block()
+            mm = self.measure()
+            series.append((ev, mm["magnetization"]))
+            log(f"        magnetization: {mm['magnetization']:9.6f}, "
+                f"up_s: {mm['up']:12d}, dw_s: {mm['down']:12d} "
+                f"(iter: {ev:8d})")
+            if cfg.corr_out:
+                self._append_corr(ev)
+            if cfg.dump_lattice:
+                self._dump(ev)
+            if cfg.tgt_magn is not None and \
+                    abs(mm["magnetization"] - cfg.tgt_magn) \
+                    < TGT_MAGN_MAX_DIFF:
+                stopped_early = True
+                break
+        if ev in temp_events:
+            new_t = max(MIN_TEMP, self.temp + cfg.temp_step)
+            log(f"Changing temperature to {new_t:f}")
+            self.set_temperature(new_t)
+    self.block()
+    elapsed = time.perf_counter() - t0
+
+    mf = self.measure()
+    log(f"Final   magnetization: {mf['magnetization']:9.6f}, "
+        f"up_s: {mf['up']:12d}, dw_s: {mf['down']:12d} "
+        f"(iter: {done:8d})")
+
+    flips = cfg.nspins * done
+    flips_ns = flips / (elapsed * 1e9) if elapsed > 0 else 0.0
+    # Effective lattice traffic, computed like the reference: per color
+    # phase read src + read dst + write dst (optimized/main.cu:1884-1890).
+    bps = getattr(getattr(self, "backend", None), "bytes_per_spin", 1.0)
+    bw = flips_ns * 3.0 * bps
+    log(f"Kernel execution time for {done} update steps: "
+        f"{elapsed * 1e3:E} ms, {flips_ns:.2f} flips/ns "
+        f"(BW: {bw:.2f} GB/s)")
+    return {"steps": done, "elapsed_s": elapsed, "flips_ns": flips_ns,
+            "bw_gbs": bw, "magnetization": mf["magnetization"],
+            "stopped_early": stopped_early, "series": series,
+            "temp_final": self.temp, "alpha_unit": t_unit}
+

@@ -91,6 +91,43 @@ def bernoulli_kbit_thresholds(temp: float, kbits: int = 24) -> tuple[int, int]:
     return t4, t8
 
 
+def field_kbit_thresholds(temp: float, field: float,
+                          kbits: int = 16) -> tuple[tuple, int]:
+    """Static k-bit acceptance for the 10-class bit-serial field accept.
+
+    Returns (tvals10, always10) consumed by the bit1 kernel's
+    _bitserial_field_flip and the xla backend's plane-mode field path:
+
+      * tvals10[b*5 + n] = rint(p * 2^k) clipped to 2^k - 1 for classes
+        with p < 1 — the flip fires iff the assembled k-bit uniform
+        v < t (STRICT compare, same convention as
+        bernoulli_kbit_thresholds' h = 0 chains);
+      * always10 bit (b*5 + n) set when p >= 1 (deterministic flip;
+        such classes consume no threshold);
+      * p rounding to 0 leaves t = 0: the class never flips.
+
+    h != 0 breaks the mirror symmetry behind the h = 0 two-threshold
+    accept, so all ten (own bit, neighbor count) classes carry their own
+    static threshold. The table also covers T <= 0 (greedy quench with
+    field: p in {0, 0.5, 1}), so the field path needs no greedy branch.
+    Reference analog: none — the reference has no field term; the h = 0
+    granularity discussion in bernoulli_kbit_thresholds applies per class.
+    """
+    p = acceptance_probabilities(temp, field)
+    cap = (1 << kbits) - 1
+    tvals = []
+    always = 0
+    for b in range(2):
+        for n in range(5):
+            pf = p[b, n]
+            if pf >= 1.0:
+                always |= 1 << (b * 5 + n)
+                tvals.append(0)
+            else:
+                tvals.append(min(cap, int(np.rint(pf * (1 << kbits)))))
+    return tuple(tvals), always
+
+
 def onsager_magnetization(temp: float) -> float:
     """Exact spontaneous |magnetization| of the infinite 2D Ising lattice.
 

@@ -50,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import BLACK
 from ..rng import TAG_SWEEP, parse_rng_mode, plane_bits
 from .pallas_dense import _block_rows_for
-from .pallas_packed import (_chacha_draw_block, _hw_draw_block,
-                            _philox_draw_block, _threefry_draw_block)
+from .pallas_packed import (_chacha_draw_block, _draw_plane_list,
+                            _hw_draw_block, _philox_draw_block,
+                            _threefry_draw_block)
 
 SPW = 32  # spins per uint32 word
 
@@ -145,7 +146,10 @@ def _neighbor_class_masks(me, up, dn, same, off):
 def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
     """(lt4, lt8, coin) bit-planes: v < t for both thresholds, bit-serially.
 
-    draws is (BY, kbits*W1); plane z = draws[:, z*W1:(z+1)*W1] supplies one
+    draws is (BY, kbits*W1) — or already a LIST of kbits (BY, W1) plane
+    arrays (the Pallas kernels hand the generator output words over
+    directly; a concat -> re-slice round trip costs real VMEM copies
+    under Mosaic, PERF.md round 5). Plane z supplies one
     i.i.d. random bit per spin. Processing planes LSB-first, the strict
     compare "v < t" obeys  a' = t_z ? (~u | a) : (~u & a)  — the threshold
     bits are STATIC, so each plane costs one ~ shared by both accumulators
@@ -161,7 +165,8 @@ def _bitserial_lt_planes(draws, W1: int, kbits: int, t4k: int, t8k: int):
     half-accept) reuses plane 0: its class is disjoint from the thresholded
     classes, so per spin only one of the three variables is ever consumed.
     """
-    planes = [draws[:, z * W1:(z + 1) * W1] for z in range(kbits)]
+    planes = draws if isinstance(draws, (list, tuple)) else \
+        [draws[:, z * W1:(z + 1) * W1] for z in range(kbits)]
     coin = planes[0]
 
     a4 = a8 = None
@@ -234,7 +239,8 @@ def _bitserial_field_flip(draws, me, n0, n1, n2, W1: int, kbits: int,
         elif tvals10[cls]:
             stoch.append((m, tvals10[cls]))
         # p rounding to 0: the class never flips; contributes nothing.
-    planes = [draws[:, z * W1:(z + 1) * W1] for z in range(kbits)]
+    planes = draws if isinstance(draws, (list, tuple)) else \
+        [draws[:, z * W1:(z + 1) * W1] for z in range(kbits)]
     lt = None
     for z in range(kbits):
         members = [m for m, t in stoch if (t >> z) & 1]
@@ -370,17 +376,14 @@ def _bit1_kernel(params_ref, thr_ref, dst_ref, src_ref, up_ref, dn_ref,
         # the contract itself (rng.RNG_MODES), implemented identically by
         # the xla backend (xla_ref.sweep_color_planes).
         cols = kbits * W1
-        if family == "philox":
-            draws = _philox_draw_block(params_ref, BY, cols, BY, seed, tag,
-                                       blk=i, rounds=rounds, grows=grows)
-        elif family == "threefry":
-            draws = _threefry_draw_block(params_ref, BY, cols, BY, seed,
-                                         tag, blk=i, rounds=rounds,
-                                         grows=grows)
-        elif family == "chacha":
-            draws = _chacha_draw_block(params_ref, BY, cols, BY, seed,
-                                       tag, blk=i, rounds=rounds,
-                                       grows=grows)
+        if family in ("philox", "threefry", "chacha"):
+            # The generator output words ARE the planes (chacha: word z =
+            # plane z; philox/threefry: W1-lane slices) — handing them
+            # over as a list skips the (BY, kbits*W1) concat that Mosaic
+            # executes as real VMEM copies (PERF.md round 5).
+            draws = _draw_plane_list(family, params_ref, W1, kbits, BY,
+                                     seed, tag, blk=i, rounds=rounds,
+                                     grows=grows)
         elif interp:
             draws = _philox_draw_block(params_ref, BY, cols, BY, seed,
                                        tag | 0x8000, blk=i)
@@ -479,18 +482,30 @@ def bit1_sweep(dst, src, src_up, src_dn, thr10, row0, step, jplanes=None,
     (ising.bernoulli_kbit_thresholds).
     """
     H, W1 = dst.shape
-    fam = parse_rng_mode(rng_mode)[0]
-    if fam == "hw" or plane_bits(rng_mode):
-        width = kbits * W1  # widest intermediate: the bit-plane draw block
-    elif fam in ("philox", "chacha"):
-        # philox: ~7 live unrolled-round quad arrays of width 8*W1;
-        # chacha: 16 live 2*W1-wide state arrays — both ride the tight cap.
-        width = 8 * W1
+    fam, rounds = parse_rng_mode(rng_mode)
+    if fam == "chacha" and plane_bits(rng_mode):
+        # Measured on chip (PERF.md round 5, 16384^2 rounds x BY matrix):
+        # the split-plane chacha kernels want LARGE blocks at few rounds
+        # (r4 peaks at BY*W1 = 32768 words: 617 median vs 354 at the old
+        # BY=16) and SMALL blocks at many rounds (r8's deeper unrolled
+        # graph spills past BY*W1 = 4096: 134 at BY=128 vs 266 at 16).
+        cap_words = (1 << 15) if rounds <= 4 else \
+            ((1 << 13) if rounds <= 6 else (1 << 12))
+        target = max(8, min(512, cap_words // max(1, W1)))
+        from .pallas_dense import _pick_block_rows
+        BY = _pick_block_rows(min(H, ysl) if ysl else H, target)
     else:
-        width = 16 * W1
-    # In replica mode the block height divides ysl, so vertical wrap rows
-    # are always block-edge rows and ride the edge arrays below.
-    BY = _block_rows_for(min(H, ysl) if ysl else H, width, rng_mode)
+        if fam == "hw" or plane_bits(rng_mode):
+            width = kbits * W1  # widest intermediate: the plane draw block
+        elif fam in ("philox", "chacha"):
+            # philox: ~7 live unrolled-round quad arrays of width 8*W1;
+            # chacha: 16 live 2*W1-wide state arrays — the tight cap.
+            width = 8 * W1
+        else:
+            width = 16 * W1
+        # In replica mode the block height divides ysl, so vertical wrap
+        # rows are always block-edge rows and ride the edge arrays below.
+        BY = _block_rows_for(min(H, ysl) if ysl else H, width, rng_mode)
     nblk = H // BY
 
     if ysl:

@@ -80,11 +80,14 @@ def _draw_counters(params_ref, rows: int, nq: int, row_block: int, blk,
     space fits 32 bits (grows = global rows, grows * nq < 2^32 — true for
     every lattice below ~2^32 counter blocks per color), the high word is
     identically zero, so it is emitted as a traced SCALAR instead of an
-    array: c1, step and tag then enter the generators as 0-d values, whole
+    array: c1, step and tag then enter the generators as 0-d values and
     early generator rounds constant-fold onto the scalar core (ChaCha's
-    first column round runs 3 of its 4 quarter-rounds scalar — measured
-    ~11-19%% on the chacha tiers, PERF.md round 5), and the counter VALUES
-    — hence all trajectories — are bit-identical to the 64-bit path.
+    first column round runs 3 of its 4 quarter-rounds scalar). Measured
+    effect (PERF.md round 5): within noise at the chacha tiers' small
+    block heights, but it stabilizes the LARGE-block schedules the round-5
+    BY retune selects (at BY*W1 >= 2^16 the 64-bit path collapsed ~2-3x:
+    600 vs 197 flips/ns at BY=512), so it stays on. Counter VALUES —
+    hence all trajectories — are bit-identical to the 64-bit path.
     """
     i = pl.program_id(0) if blk is None else blk
     row0 = params_ref[0] + (i * row_block).astype(jnp.uint32)
@@ -130,6 +133,50 @@ def _chacha_draw_block(params_ref, rows: int, cols: int, row_block: int,
     k0, k1 = key_from_seed(seed)
     o = chacha_block(c0, c1, params_ref[1], jnp.uint32(tag), k0, k1, rounds)
     return jnp.concatenate(o, axis=-1)
+
+
+def _draw_plane_list(family, params_ref, W1: int, kbits: int,
+                     row_block: int, seed: int, tag: int, blk=None,
+                     rounds: int = 0, grows: int = 0):
+    """The kbits (BY, W1) bit-plane words of one draw block as a LIST,
+    without materializing the (BY, kbits*W1) lane concat.
+
+    Value contract: plane z == draws[:, z*W1:(z+1)*W1] of the
+    corresponding _*_draw_block(cols=kbits*W1) call — the generators'
+    output words are produced at exactly those lane offsets, so handing
+    them over directly (chacha: plane z IS output word z when kbits == 16;
+    philox/threefry: a W1-slice of output word z//4 / z//8) skips a
+    concat -> re-slice round trip that Mosaic executes as real VMEM
+    copies. Measured on chip (PERF.md round 5): the concat round trip
+    plus the too-small block height hid ~1.8x of the chacha4b tier.
+    """
+    from ..rng import chacha_block
+    c0, c1 = _draw_counters(params_ref, row_block, kbits * W1 // 16
+                            if family == "chacha" else
+                            (kbits * W1 // 4 if family == "philox"
+                             else kbits * W1 // 2),
+                            row_block, blk, grows)
+    if family == "chacha":
+        k0, k1 = key_from_seed(seed)
+        o = chacha_block(c0, c1, params_ref[1], jnp.uint32(tag), k0, k1,
+                         rounds)
+        if kbits == 16:
+            return list(o)
+        full = jnp.concatenate(o, axis=-1)
+        return [full[:, z * W1:(z + 1) * W1] for z in range(kbits)]
+    if family == "philox":
+        k0, k1 = key_from_seed(seed)
+        o = philox4x32(c0, c1, params_ref[1], jnp.uint32(tag), k0, k1,
+                       rounds)
+        per = kbits * W1 // 4  # lanes per output word
+        return [o[(z * W1) // per][:, (z * W1) % per:(z * W1) % per + W1]
+                for z in range(kbits)]
+    k0, k1 = threefry_stream_key(seed, params_ref[1], tag)
+    o0, o1 = threefry2x32(c0, c1, k0, k1, rounds)
+    o = (o0, o1)
+    per = kbits * W1 // 2
+    return [o[(z * W1) // per][:, (z * W1) % per:(z * W1) % per + W1]
+            for z in range(kbits)]
 
 
 def _hw_draw_block(params_ref, rows: int, cols: int, seed: int, tag: int,

@@ -149,6 +149,25 @@ def sweep_color(dst, src, *, color: int, thr10, draws,
     return dst ^ accept
 
 
+def sweep_color_planes_field(dst, src, *, color: int, v, t10,
+                             src_up=None, src_dn=None, jplanes=None, **maps):
+    """Half-sweep, bit-plane contract with external field: the 10-class
+    bit-serial accept evaluated densely.
+
+    v:   (H, C) uint32 k-bit uniforms assembled LSB-first from the plane
+         draws (same bits the bit1 kernel's _bitserial_field_flip consumes).
+    t10: uint32 (10,) static table [own_bit*5 + n] where always-flip
+         classes hold 2^k (v < 2^k is identically true for a k-bit v) and
+         stochastic classes hold ising.field_kbit_thresholds' values —
+         flip iff v < t (STRICT), bit-identical to the bit-serial chains.
+    """
+    H, C = dst.shape
+    nsum = neighbor_bit_sum(src, color=color, H=H, src_up=src_up,
+                            src_dn=src_dn, jplanes=jplanes, **maps)
+    thr = select_threshold_full(dst, nsum, t10)
+    return dst ^ (v < thr).astype(jnp.uint8)
+
+
 def sweep_color_planes(dst, src, *, color: int, lt4, lt8, coin,
                        greedy: bool, src_up=None, src_dn=None,
                        jplanes=None, **maps):
@@ -189,9 +208,12 @@ class XlaBackend:
         if cfg.xsl:
             self._maps["col_idx_left"], self._maps["col_idx_right"] = \
                 make_col_wrap_maps(ch, cfg.xsl)
-        # External field: the full 2x5 table must be consumed per own-bit
-        # row (config gates field to this backend + u32 rng modes).
+        # External field: u32 modes consume the full 2x5 runtime table;
+        # plane modes use the static 10-class bit-serial thresholds below.
+        # The driver updates full_table/field on set_field (and rebuilds
+        # the stepper when the accept variant changes trace-time shape).
         self.full_table = cfg.field != 0.0
+        self.field = cfg.field
         self.kplanes = plane_bits(cfg.rng)
         if self.kplanes:
             if ch % 32:
@@ -225,6 +247,23 @@ class XlaBackend:
             draws = counter_color_draws(
                 self.cfg.rng, self.cfg.seed, H, k * W1, step=step,
                 tag=TAG_SWEEP | color, row0=row0, row_stride=k * W1)
+            if self.field:
+                # 10-class bit-serial accept (same static table as the
+                # bit1 kernel's field path): assemble the k-bit uniform
+                # per site and compare against the per-class threshold.
+                tvals10, always10 = ising.field_kbit_thresholds(
+                    self.temperature, self.field, k)
+                t10 = jnp.asarray(np.array(
+                    [(1 << k) if (always10 >> c) & 1 else tvals10[c]
+                     for c in range(10)], dtype=np.uint32))
+                v = unpack_bits1(draws[:, :W1]).astype(jnp.uint32)
+                for z in range(1, k):
+                    v = v | (unpack_bits1(
+                        draws[:, z * W1:(z + 1) * W1]).astype(jnp.uint32)
+                        << z)
+                return sweep_color_planes_field(
+                    dst, src, color=color, v=v, t10=t10, src_up=src_up,
+                    src_dn=src_dn, jplanes=jplanes, **self._maps)
             t4k, t8k = ising.bernoulli_kbit_thresholds(self.temperature, k)
             lt4w, lt8w, coinw = _bitserial_lt_planes(draws, W1, k, t4k, t8k)
             return sweep_color_planes(

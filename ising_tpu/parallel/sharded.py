@@ -32,7 +32,8 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
+def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None,
+                         force_collectives=False):
     """Build (shardings, step_n) for the given config/backend.
 
     step_n(black, white, thr10, step0, n) runs n MC steps (n may be traced;
@@ -42,10 +43,18 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
 
     jplanes: optional ((j_up,j_dn,j_same,j_off) black, (...) white) disorder
     planes in backend storage layout, sharded like the lattice.
+
+    force_collectives: route ndev == 1 through the full multi-device code
+    path (shard_map over a 1-device mesh, ppermute halo, axis_index row
+    offsets) — bit-identical output by the counter contract. Used to
+    MEASURE the sharded stepper's fixed overhead on one real chip
+    (PERF.md round 5), the one-chip datum behind the weak-scaling
+    projection.
     """
     ndev = cfg.ndev
+    collect = ndev > 1 or force_collectives
 
-    use_fused = (ndev == 1 and jplanes is None
+    use_fused = (not collect and jplanes is None
                  and hasattr(backend, "fusable")
                  and backend.fusable(cfg.nrows))
 
@@ -98,11 +107,11 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
             # Single-device fast path: both color phases in one kernel
             # (reads each color plane once per step).
             return backend.update_step(b, w, thr10=thr, step=step)
-        if ndev > 1:
+        if collect:
             row0 = lax.axis_index(ROW_AXIS) * cfg.local_rows
         else:
             row0 = 0
-        w_up, w_dn = ring_halo_rows(w, ROW_AXIS) if ndev > 1 \
+        w_up, w_dn = ring_halo_rows(w, ROW_AXIS) if collect \
             else (w[-1:], w[:1])
         if use_overlap:
             b = color_sweep_split(b, w, w_up, w_dn, color=BLACK, thr=thr,
@@ -111,7 +120,7 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
             b = backend.update_color(b, w, color=BLACK, thr10=thr, step=step,
                                      row0=row0, src_up=w_up, src_dn=w_dn,
                                      jplanes=jb)
-        b_up, b_dn = ring_halo_rows(b, ROW_AXIS) if ndev > 1 \
+        b_up, b_dn = ring_halo_rows(b, ROW_AXIS) if collect \
             else (b[-1:], b[:1])
         if use_overlap:
             w = color_sweep_split(w, b, b_up, b_dn, color=WHITE, thr=thr,
@@ -128,7 +137,7 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
             return shard_step(bb, ww, thr, step0 + i.astype(jnp.uint32), jb, jw)
         return lax.fori_loop(0, n, body, (b, w))
 
-    if ndev > 1:
+    if collect:
         if mesh is None:
             mesh = make_mesh(ndev)
         row_sharded = NamedSharding(mesh, P(ROW_AXIS, None))
@@ -149,7 +158,7 @@ def make_sharded_stepper(cfg, backend, mesh=None, jplanes=None):
         shardings = {"plane": None, "replicated": None, "mesh": None}
 
     jb, jw = (None, None) if jplanes is None else jplanes
-    if ndev > 1 and jb is not None:
+    if collect and jb is not None:
         # Pre-shard once so the per-call argument passing below never
         # re-transfers them.
         jb = jax.device_put(jb, row_sharded)

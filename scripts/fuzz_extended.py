@@ -69,9 +69,16 @@ def main(argv=None):
 
     planes = ["philox", "threefry13", "philox7b", "threefry13b",
               "chacha8b", "chacha6b", "chacha4b"]
+    planes_only = ["philox7b", "threefry13b", "chacha8b", "chacha6b",
+                   "chacha4b"]
     nb = args.n // 2
     for i, kw in enumerate(bit1_cases(nb, master_seed=args.seed + 1)):
-        run_pair("bit1", kw, planes[kw["seed"] % len(planes)])
+        if "field" in kw:
+            # bit1 field = 10-class bit-serial accept: plane modes only
+            rng = planes_only[kw["seed"] % len(planes_only)]
+        else:
+            rng = planes[kw["seed"] % len(planes)]
+        run_pair("bit1", kw, rng)
         if (i + 1) % 25 == 0:
             print(f"bit1: {i + 1}/{nb} done "
                   f"({fails} failures, {time.time() - t0:.0f} s)",

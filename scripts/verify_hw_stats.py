@@ -27,16 +27,16 @@ import numpy as np
 
 
 def check_backend(jax, jnp, backend: str, *, nrows, ncols, temp, steps,
-                  seed=1234):
+                  seed=1234, field=0.0):
     from ising_tpu import SimConfig, get_backend, lattice
     from ising_tpu.constants import BLACK, WHITE
     from ising_tpu.models import ising
 
     cfg = SimConfig(nrows=nrows, ncols=ncols, temp=temp, seed=seed,
-                    backend=backend, rng="hw")
+                    backend=backend, rng="hw", field=field)
     be = get_backend(cfg)
     b, w = lattice.init_bits(cfg.seed, cfg.nrows, cfg.ncols)
-    thr = jnp.asarray(ising.threshold_table(cfg.temperature))
+    thr = jnp.asarray(ising.threshold_table(cfg.temperature, field))
     flips = np.zeros((2, 5))
     counts = np.zeros((2, 5))
     bs, ws = be.encode(b, w)
@@ -64,7 +64,7 @@ def check_backend(jax, jnp, backend: str, *, nrows, ncols, temp, steps,
                              step=jnp.uint32(step),
                              src_up=bs[-1:], src_dn=bs[:1])
 
-    p = ising.acceptance_probabilities(temp)
+    p = ising.acceptance_probabilities(temp, field)
     ok = True
     worst = 0.0
     for bbit in range(2):
@@ -84,6 +84,8 @@ def check_backend(jax, jnp, backend: str, *, nrows, ncols, temp, steps,
                       f"({z:.1f} sigma, N={int(counts[bbit, n])})",
                       flush=True)
     status = "OK " if ok else "FAIL"
+    if field:
+        backend = f"{backend} h={field}"
     print(f"  [{status}] {backend} {nrows}x{ncols} T={temp} hw: "
           f"worst class deviation {worst:.2f} sigma "
           f"({int(counts.sum())} classified sites, {time.time()-t0:.1f}s)",
@@ -119,6 +121,11 @@ def main(argv=None):
                         steps=3)
     ok &= check_backend(jax, jnp, "packed", nrows=512, ncols=4096, temp=2.0,
                         steps=args.steps)
+    # External field on bit1+hw: the 10-class bit-serial accept's static
+    # k-bit thresholds have no mirror symmetry left to cancel a wiring
+    # bug, so every class is checked against its own exp(-dE/T).
+    ok &= check_backend(jax, jnp, "bit1", nrows=512, ncols=8192, temp=2.0,
+                        steps=args.steps, field=0.75)
     print("verify_hw_stats: ALL WITHIN 5 SIGMA" if ok
           else "verify_hw_stats: FAILURES", flush=True)
     return 0 if ok else 1

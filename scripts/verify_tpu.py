@@ -148,6 +148,12 @@ def main(argv=None):
             # sub-lattice replica wrap (dual lane roll + edge-array rows)
             dict(nrows=64, ncols=8192, rng="philox", xsl=64, ysl=16),
             dict(nrows=64, ncols=8192, rng="threefry13b", xsl=64, ysl=16),
+            # external field: the 10-class bit-serial accept (static
+            # k-bit thresholds per (own bit, neighbor count) class)
+            dict(nrows=64, ncols=8192, rng="threefry13b", field=0.75),
+            dict(nrows=64, ncols=16384, rng="chacha8b", field=-1.25),
+            dict(nrows=64, ncols=8192, rng="philox7b", field=0.75,
+                 j_prob=0.3),
         ]
     elif args.backend == "xla":
         # Compiled-on-TPU xla backend vs the same backend on host CPU:
@@ -158,6 +164,8 @@ def main(argv=None):
             dict(nrows=64, ncols=2048, rng="chacha8", field=-1.25),
             dict(nrows=64, ncols=2048, rng="threefry13", field=0.75,
                  j_prob=0.3),
+            # plane-mode field: the dense 10-class bit-serial accept
+            dict(nrows=64, ncols=2048, rng="philox7b", field=0.75),
         ]
     else:
         # mxu needs nrows and ncols/2 to be multiples of 128.

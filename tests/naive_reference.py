@@ -155,6 +155,25 @@ def kbit_thresholds(temp, k=16):
     return t4, t8
 
 
+def field_kbit_table(temp, h, k=16):
+    """10-class k-bit accept for plane modes with external field:
+    (tvals[b*5+n], always[b*5+n]) — flip iff always or v < t (strict).
+    Independent reimplementation of ising.field_kbit_thresholds."""
+    import math
+    cap = (1 << k) - 1
+    tvals, always = [], []
+    for b in range(2):
+        for n in range(5):
+            de = 2.0 * (2 * b - 1) * ((2 * n - 4) + h)
+            if temp > 0:
+                p = math.exp(-de / temp)
+            else:
+                p = 1.0 if de < 0 else (0.5 if de == 0 else 0.0)
+            always.append(p >= 1.0)
+            tvals.append(0 if p >= 1.0 else min(cap, round(p * (1 << k))))
+    return tvals, always
+
+
 def full_compact_col(y, x):
     """Compact column index of full-lattice site (y, x)."""
     return x // 2
@@ -168,20 +187,24 @@ def site_color(y, x):
 
 def naive_color_sweep(full_bits, color, thr10, seed, step, *,
                       v=None, h=None, xsl=None, ysl=None, mode="philox",
-                      temp=None):
+                      temp=None, field=0.0):
     """Update all sites of `color` in the full {0,1} bit lattice, in place
     semantics (returns a new array). Mirrors basic_cuda/main.cu:54-90 but on
     the full lattice, with optional disorder links and sub-lattice wrap.
 
     Bit-plane modes (PLANE_MODES) need `temp` to derive the k-bit
-    thresholds; u32 modes use the thr10 table."""
+    thresholds (the 10-class field table when field != 0); u32 modes use
+    the thr10 table (which already carries the field)."""
     Y, X = full_bits.shape
     ch = X // 2
     out = full_bits.copy()
     ysl = ysl or Y
     xsl = xsl or X
     plane = mode in PLANE_MODES
-    if plane:
+    if plane and field:
+        ftvals, falways = field_kbit_table(temp, field,
+                                           PLANE_MODES[mode][1])
+    elif plane:
         t4k, t8k = kbit_thresholds(temp, PLANE_MODES[mode][1])
         greedy = temp <= 0
     for y in range(Y):
@@ -210,6 +233,11 @@ def naive_color_sweep(full_bits, color, thr10, seed, step, *,
                 val, coin = site_plane_value(
                     seed, y, full_compact_col(y, x), ch, step, tag=color,
                     mode=mode)
+                if field:
+                    cls = b * 5 + nsum
+                    if falways[cls] or val < ftvals[cls]:
+                        out[y, x] = b ^ 1
+                    continue
                 if greedy:
                     flip = (e < 2 or (e == 2 and coin == 1)
                             or (e == 3 and val < t4k)

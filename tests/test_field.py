@@ -175,18 +175,110 @@ def test_energy_includes_field_term():
 
 
 def test_field_config_fencing():
-    with pytest.raises(ValueError, match="full-table"):
+    # bit1 needs the bit-serial accept (plane/hw modes), not u32 modes.
+    with pytest.raises(ValueError, match="bit-serial"):
         SimConfig(nrows=8, ncols=64, temp=2.0, backend="bit1", field=0.5)
+    # dense/packed full-table paths consume u32 draws only.
     with pytest.raises(ValueError, match="u32"):
-        SimConfig(nrows=8, ncols=64, temp=2.0, backend="xla",
+        SimConfig(nrows=8, ncols=64, temp=2.0, backend="packed",
                   rng="chacha8b", field=0.5)
-    with pytest.raises(ValueError, match="u32"):
-        SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla", rng="hw",
-                  field=0.5)
+    # mxu has no field path at all.
+    with pytest.raises(ValueError, match="mxu"):
+        SimConfig(nrows=8, ncols=256, temp=2.0, backend="mxu", field=0.5)
+    # Legal combinations construct fine: bit1 + plane/hw, xla + anything.
+    SimConfig(nrows=8, ncols=64, temp=2.0, backend="bit1", rng="chacha8b",
+              field=0.5)
+    SimConfig(nrows=8, ncols=64, temp=2.0, backend="bit1", rng="hw",
+              field=0.5)
+    SimConfig(nrows=8, ncols=64, temp=2.0, backend="xla", rng="philox7b",
+              field=0.5)
     from ising_tpu.tempering import ParallelTempering
     with pytest.raises(ValueError, match="field"):
         ParallelTempering(SimConfig(nrows=8, ncols=16, temp=2.0,
                                     backend="xla", field=0.5), [1.5, 2.0])
+
+
+@pytest.mark.parametrize("rng,h", [("philox7b", 0.7), ("chacha8b", -1.3)])
+def test_field_plane_mode_matches_naive(rng, h):
+    """xla + bit-plane rng + field: the 10-class bit-serial accept against
+    the independent scalar reference's own 10-class table. (2 steps, one
+    h per rng: the scalar plane reference costs ~17 draws/site/sweep.)"""
+    Y, X = 8, 64
+    cfg = SimConfig(nrows=Y, ncols=X, temp=1.8, seed=909, backend="xla",
+                    rng=rng, field=h)
+    sim = Simulation(cfg)
+    sim.advance(2)
+    full = naive_init(cfg.seed, Y, X)
+    for step in range(2):
+        full = naive_step(full, None, cfg.seed, step, mode=rng,
+                          temp=cfg.temperature, field=h)
+    np.testing.assert_array_equal(
+        np.asarray(lattice.compact_to_full(*sim.bits())), full)
+
+
+@pytest.mark.parametrize("extra", [dict(), dict(j_prob=0.3),
+                                   dict(temp=0.0, field=2.0),
+                                   dict(xsl=4, ysl=8)])
+def test_field_bit1_matches_xla_planes(extra):
+    """bit1 + bit-plane rng + field across its feature matrix (disorder,
+    the T = 0 greedy-with-field table, sub-lattice replicas) must be
+    bit-identical to the xla backend's 10-class plane path."""
+    base = dict(nrows=16, ncols=128, temp=1.7, seed=77, rng="threefry13b",
+                field=0.9)
+    base.update(extra)
+    sx = Simulation(SimConfig(backend="xla", **base))
+    sb = Simulation(SimConfig(backend="bit1", **base))
+    sx.advance(3), sb.advance(3)
+    np.testing.assert_array_equal(np.asarray(sx.bits()[0]),
+                                  np.asarray(sb.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(sx.bits()[1]),
+                                  np.asarray(sb.bits()[1]))
+
+
+def test_field_bit1_matches_naive():
+    Y, X = 8, 64
+    cfg = SimConfig(nrows=Y, ncols=X, temp=2.1, seed=5, backend="bit1",
+                    rng="chacha8b", field=-0.6)
+    sim = Simulation(cfg)
+    sim.advance(3)
+    full = naive_init(cfg.seed, Y, X)
+    for step in range(3):
+        full = naive_step(full, None, cfg.seed, step, mode=cfg.rng,
+                          temp=cfg.temperature, field=cfg.field)
+    np.testing.assert_array_equal(
+        np.asarray(lattice.compact_to_full(*sim.bits())), full)
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_field_bit1_sharded_matches_single(ndev):
+    base = dict(nrows=32, ncols=128, temp=1.9, seed=13, backend="bit1",
+                rng="philox7b", field=0.8)
+    s1 = Simulation(SimConfig(ndev=1, **base))
+    sn = Simulation(SimConfig(ndev=ndev, **base))
+    s1.advance(3), sn.advance(3)
+    np.testing.assert_array_equal(np.asarray(s1.bits()[0]),
+                                  np.asarray(sn.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(s1.bits()[1]),
+                                  np.asarray(sn.bits()[1]))
+
+
+def test_set_field_bit1_matches_fresh_sim():
+    """set_field on a static-accept backend (bit1: thresholds are baked
+    into the kernel) rebuilds the stepper and continues exactly like a sim
+    constructed at the new field from the same state."""
+    base = dict(nrows=8, ncols=64, temp=2.0, seed=13, backend="bit1",
+                rng="chacha8b")
+    s = Simulation(SimConfig(field=0.4, **base))
+    s.advance(2)
+    state = tuple(np.asarray(p).copy() for p in s.bits())
+    s.set_field(-1.1)
+    s.advance(3)
+    f = Simulation(SimConfig(field=-1.1, **base), state=state, step0=2)
+    f.advance(3)
+    np.testing.assert_array_equal(np.asarray(s.bits()[0]),
+                                  np.asarray(f.bits()[0]))
+    np.testing.assert_array_equal(np.asarray(s.bits()[1]),
+                                  np.asarray(f.bits()[1]))
 
 
 def test_field_checkpoint_resume(tmp_path):

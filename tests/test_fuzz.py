@@ -59,7 +59,9 @@ def test_packed_matches_xla_random(kw):
 
 
 def bit1_cases(n, master_seed=20260817):
-    """Random geometries legal for bit1 (ncols % 64; ~1/3 with disorder)."""
+    """Random geometries legal for bit1 (ncols % 64; ~1/3 with disorder,
+    ~1/4 with an external field — field cases must ride plane rng modes,
+    which the rng selectors below honor)."""
     rs = np.random.RandomState(master_seed)
     out = []
     for _ in range(n):
@@ -69,8 +71,13 @@ def bit1_cases(n, master_seed=20260817):
                   seed=int(rs.randint(1, 2 ** 50)))
         if rs.randint(0, 3) == 0:
             kw["j_prob"] = float(rs.uniform(0, 1))
+        if rs.randint(0, 4) == 0:
+            kw["field"] = float(rs.uniform(-3.0, 3.0)) or 0.5
         out.append(kw)
     return out
+
+
+BIT1_PLANE_RNGS = ["philox7b", "threefry13b", "chacha8b"]
 
 
 @pytest.mark.parametrize("kw", bit1_cases(8))
@@ -78,6 +85,9 @@ def test_bit1_matches_xla_random(kw):
     """Random sweep over the bit1 tier incl. the bit-plane rng modes."""
     rngs = ["philox", "threefry13", "philox7b", "threefry13b", "chacha8b"]
     rng = rngs[kw["seed"] % 5]
+    if "field" in kw:
+        # bit1 field runs use the 10-class bit-serial accept: plane modes.
+        rng = BIT1_PLANE_RNGS[kw["seed"] % 3]
     s_x = Simulation(SimConfig(backend="xla", rng=rng, **kw))
     s_b = Simulation(SimConfig(backend="bit1", rng=rng, **kw))
     s_x.advance(3)

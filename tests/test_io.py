@@ -77,6 +77,47 @@ def test_cli_resume(tmp_path, monkeypatch, capsys):
     assert "flips/ns" in out
 
 
+def test_cli_qualified_chacha_tiers(capsys):
+    """The battery-qualified speed tiers are reachable from the CLI."""
+    from ising_tpu.cli import main
+    for rng in ("chacha4b", "chacha6b", "chacha4", "chacha6"):
+        backend = "bit1" if rng.endswith("b") else "xla"
+        assert main(["-x", "64", "-y", "8", "-n", "2", "-t", "1.5",
+                     "--backend", backend, "--rng", rng]) == 0
+    out = capsys.readouterr().out
+    assert "flips/ns" in out
+
+
+def test_cli_swendsen_wang(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    from ising_tpu.cli import main
+    rc = main(["-x", "16", "-y", "16", "-n", "3", "-t", "2.3", "-p", "1",
+               "--algo", "sw", "-o", "-c"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Swendsen-Wang" in out and "flips/ns" in out
+    assert list(tmp_path.glob("final_*.txt"))
+    assert list(tmp_path.glob("corr_*"))
+    # SW fences compose: resume/checkpoint unsupported, packed backend too
+    assert main(["--algo", "sw", "--resume", "x.npz"]) == 1
+    assert main(["-x", "16", "-y", "16", "--algo", "sw",
+                 "--backend", "packed"]) == 1
+    assert "ERROR" in capsys.readouterr().err
+
+
+def test_cli_parallel_tempering(capsys):
+    from ising_tpu.cli import main
+    rc = main(["-x", "16", "-y", "8", "-n", "3", "-p", "2",
+               "--pt", "1.5,2.0,2.5", "--sweeps-per-swap", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "parallel tempering" in out
+    assert out.count("T =  1.50000") >= 1 and "Pair acceptance" in out
+    # ladder validation surfaces as a CLI error, not a traceback
+    assert main(["-x", "16", "-y", "8", "--pt", "1.5"]) == 1
+    assert "ERROR" in capsys.readouterr().err
+
+
 def test_cli_bad_geometry(capsys):
     from ising_tpu.cli import main
     rc = main(["-x", "30", "-y", "32", "-n", "1"])
