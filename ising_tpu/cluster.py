@@ -194,11 +194,19 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     draws_d = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 1,
                           row_stride=X)
     open_r, open_d = open_bonds(full, draws_r, draws_d, thr)
-    # Contraction choice by size: below ~2^16 spins cluster diameters are
-    # small enough that the cheap stencil+jump iterations win; above, the
-    # scans' near-size-stable iteration count dominates (measured — see
-    # label_clusters and scripts/experiments/bench_cluster.py).
-    labels = label_clusters(open_r, open_d, scans=Y * X >= 65536)
+    # Contraction choice is PLATFORM-tuned (trajectory-neutral: every
+    # variant converges to the same min-label fixpoint, asserted in
+    # tests/test_cluster.py). On TPU the pure stencil wins at every
+    # measured size — its roll/min iterations cost ~1/90 of a
+    # scan+gather iteration on chip and the gap widens with L (15x at
+    # L=1024, 45x at L=2048, Tc equilibrium), while the scan program's
+    # compile time explodes (1348 s at L=2048). On CPU the scans'
+    # near-size-stable iteration count dominates above ~2^16 spins.
+    # Measured: PERF.md round 5 + scripts/experiments/exp_label_xover.py.
+    if jax.devices()[0].platform == "cpu":
+        labels = label_clusters(open_r, open_d, scans=Y * X >= 65536)
+    else:
+        labels = label_clusters(open_r, open_d, scans=False, jumps=0)
     flip = cluster_coins(labels, seed, step)
     if field != 0.0:
         draws_g = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 3,

@@ -68,15 +68,32 @@ def time_steps(advance, fence_fn, n1=2, n2=8):
     return max(((t2 - t1) - (t1 - t0)) / (n2 - n1), 1e-9)
 
 
+ALL_VARIANTS = (("scan+jump", dict(scans=True, jumps=1)),
+                ("scan", dict(scans=True, jumps=0)),
+                ("stencil", dict(scans=False, jumps=0)),
+                ("jump", dict(scans=False, jumps=1)))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2048,4096")
+    ap.add_argument("--variants", default=None,
+                    help="comma list from scan+jump,scan,stencil,jump "
+                         "(default: all)")
+    ap.add_argument("--temps", default="tc,1.5")
+    ap.add_argument("--met-steps", type=int, default=64,
+                    help="Metropolis marginal-slope base step count "
+                         "(n1; n2 = 4*n1) — large enough to rise above "
+                         "tunnel timing noise at small L")
     args = ap.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")]
+    pick = args.variants.split(",") if args.variants else None
+    temps = [TCRIT if t.strip() == "tc" else float(t)
+             for t in args.temps.split(",")]
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     for L in sizes:
-        for T in (TCRIT, 1.5):
+        for T in temps:
             cfg = SimConfig(nrows=L, ncols=L, temp=float(T), seed=7,
                             backend="xla")
             sw = SwendsenWang(cfg)
@@ -96,10 +113,9 @@ def main(argv=None):
                 dr, dd, thr = bond_state(cfg, L, sw.step + ds)
                 states.append(open_bonds(sw.full, dr, dd, thr))
             variants = {}
-            for name, kw in (("scan+jump", dict(scans=True, jumps=1)),
-                             ("scan", dict(scans=True, jumps=0)),
-                             ("stencil", dict(scans=False, jumps=0)),
-                             ("jump", dict(scans=False, jumps=1))):
+            for name, kw in ALL_VARIANTS:
+                if pick and name not in pick:
+                    continue
                 f = jax.jit(lambda a, b, kw=kw: label_clusters(
                     a, b, return_iters=True, **kw))
                 k = int(jax.device_get(f(*states[0])[1]))  # warm + count
@@ -112,7 +128,8 @@ def main(argv=None):
             met = Simulation(cfg)
             t_met = time_steps(met.advance,
                                lambda: int(jax.device_get(
-                                   met.black[0, 0])))
+                                   met.black[0, 0])),
+                               n1=args.met_steps, n2=4 * args.met_steps)
             vtxt = "  ".join(f"{n}:{k}it/{t * 1e3:.0f}ms"
                              for n, (k, t) in variants.items())
             print(f"L={L} T={'Tc' if T == TCRIT else T}: "
