@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "-s: fix it to vary only the thermal stream)")
     p.add_argument("--field", type=float, default=0.0,
                    help="uniform external field h (beyond the reference; "
-                        "xla/dense/packed backends + u32 rng modes)")
+                        "u32 rng modes on xla/dense/packed, bit-plane/hw "
+                        "modes on bit1/xla — not mxu)")
     p.add_argument("--xsl", type=int, default=None,
                    help="X size of independent sub-lattice replicas")
     p.add_argument("--ysl", type=int, default=None,
