@@ -158,6 +158,160 @@ def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1,
     return (lab, iters) if return_iters else lab
 
 
+def _local_pass_kernel(lab_ref, o_r_ref, o_d_ref, out_ref, *, ty, tx):
+    """Tile-local min-label fixpoint, entirely in VMEM.
+
+    Pulls labels across open bonds whose BOTH endpoints live in this
+    (ty, tx) tile (edge-crossing bonds are masked off — the outer global
+    stencil step carries those plus the periodic wrap), iterating until
+    the tile stops changing. Monotone min => converges; any iteration
+    count is trajectory-safe, the outer while_loop owns the global
+    fixpoint. The payoff: one HBM read/write per PASS instead of per
+    stencil iteration — a label crosses the whole tile per pass instead
+    of one site per global iteration."""
+    from jax.experimental.pallas import tpu as pltpu  # lazy (CPU import ok)
+
+    lab0 = lab_ref[...]
+    o_r = o_r_ref[...]
+    o_d = o_d_ref[...]
+    lane = lax.broadcasted_iota(jnp.int32, (ty, tx), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (ty, tx), 0)
+    # Gate g_X: site may pull its X-neighbor's label (bond open, interior).
+    # int32 masks: Mosaic vector ALU has no i8; bool vregs are fine but
+    # the doubling chain rolls them, and rolling i32 keeps one layout.
+    g_r = ((o_r > 0) & (lane < tx - 1)).astype(jnp.int32)
+    g_l = ((pltpu.roll(o_r, 1, 1) > 0) & (lane > 0)).astype(jnp.int32)
+    g_d = ((o_d > 0) & (sub < ty - 1)).astype(jnp.int32)
+    g_u = ((pltpu.roll(o_d, 1, 0) > 0) & (sub > 0)).astype(jnp.int32)
+    big = jnp.int32(0x7FFFFFFF)
+
+    def chain(lab, gate1, axis, size, back, cap=16):
+        """Gated distance-doubling min-pull (segmented min-scan,
+        Hillis-Steele): after step d the label has crossed any open run
+        of length 2d in this direction. Tile edges stay sealed: gate1 is
+        False at the edge lane/sublane, and every doubled gate ANDs a
+        chain of gate1's through it, so wrapped rolls never contribute.
+
+        Capped at distance `cap`: open runs of length d occur with
+        probability p^d (p = 0.585 at Tc, 0.93 deep in the ordered
+        phase), so distances past ~16 almost never fire, while each
+        extra step costs vector ops AND register pressure (uncapped
+        chains at 512x1024 tiles spilled 90 MB and OOM'd vmem). Longer
+        runs still resolve — across iterations, monotonically.
+
+        back=False pulls from lower indices (roll +d), back=True from
+        higher (roll size-d)."""
+        cand, g, d = lab, gate1, 1
+        while d < min(size, cap):
+            sh = d if not back else size - d
+            cand = jnp.minimum(
+                cand, jnp.where(g > 0, pltpu.roll(cand, sh, axis), big))
+            g = g & pltpu.roll(g, sh, axis)
+            d *= 2
+        return cand
+
+    def pull(lab):
+        """One inner relaxation: full-run propagation along rows then
+        columns, both directions. Monotone min over in-cluster sites."""
+        n = chain(lab, g_l, 1, tx, False)
+        n = jnp.minimum(n, chain(lab, g_r, 1, tx, True))
+        n = chain(n, g_u, 0, ty, False)
+        return jnp.minimum(n, chain(n, g_d, 0, ty, True))
+
+    first = pull(lab0)
+
+    def body(state):
+        lab, _ = state
+        new = pull(lab)
+        return new, jnp.any(new != lab)
+
+    lab, _ = lax.while_loop(lambda s: s[1], body,
+                            (first, jnp.any(first != lab0)))
+    out_ref[...] = lab
+
+
+def _pick_tile(Y: int, X: int):
+    """(ty, tx) VMEM tile for the local pass, or None if the shape
+    doesn't fit the layout rules (lane dim multiple of 128, sublane
+    multiple of 8). ~0.5 MB int32 planes: the kernel keeps ~a dozen
+    planes live (labels, gates, chain carries) and Mosaic's register
+    allocator needs the headroom — 2 MB planes spilled and OOM'd."""
+    tx = next((t for t in (512, 256, 128) if X % t == 0), None)
+    if tx is None:
+        return None
+    cap = (1 << 19) // (4 * tx)  # rows for a 0.5 MB int32 plane
+    ty = next((t for t in (256, 128, 64, 32, 16, 8)
+               if t <= cap and Y % t == 0), None)
+    return None if ty is None else (ty, tx)
+
+
+def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
+                         interpret: bool | None = None):
+    """label_clusters, restructured for the TPU memory hierarchy.
+
+    Same min-site-id fixpoint (asserted against union-find in
+    tests/test_cluster.py), different iteration economy: the global
+    stencil moves labels one site per HBM round trip, so at Tc its
+    iteration count ~ cluster path length ~ L^1.13 with ~10 plane reads
+    each (measured 1.06 ms/iter x 2343 iters at L=4096). Here each outer
+    iteration is one global stencil step (cross-tile bonds + periodic
+    wrap) followed by a Pallas pass that converges every (ty, tx) tile
+    IN VMEM — labels cross a whole tile per outer iteration, so the
+    outer count drops to ~ tiles-crossed-by-the-longest-path and HBM
+    traffic drops by the local iteration count. Falls back to
+    label_clusters when the shape has no legal tile."""
+    Y, X = open_r.shape
+    tile = _pick_tile(Y, X)
+    if tile is None:
+        return label_clusters(open_r, open_d, scans=False, jumps=0,
+                              return_iters=return_iters)
+    ty, tx = tile
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    o_r32 = open_r.astype(jnp.int32)
+    o_d32 = open_d.astype(jnp.int32)
+    blk = lambda i, j: (i, j)
+    spec = pl.BlockSpec((ty, tx), blk, memory_space=pltpu.VMEM)
+    local = pl.pallas_call(
+        functools.partial(_local_pass_kernel, ty=ty, tx=tx),
+        grid=(Y // ty, X // tx),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Y, X), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    ids = jnp.arange(Y * X, dtype=jnp.int32).reshape(Y, X)
+
+    def body(state):
+        lab, _, k = state
+        # Global stencil step: the only mover across tile edges + wrap.
+        l_r = jnp.where(open_r, jnp.roll(lab, -1, axis=1), lab)
+        l_l = jnp.where(jnp.roll(open_r, 1, axis=1),
+                        jnp.roll(lab, 1, axis=1), lab)
+        l_d = jnp.where(open_d, jnp.roll(lab, -1, axis=0), lab)
+        l_u = jnp.where(jnp.roll(open_d, 1, axis=0),
+                        jnp.roll(lab, 1, axis=0), lab)
+        new = jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
+                                           jnp.minimum(l_d, l_u)))
+        new = local(new, o_r32, o_d32)
+        return new, jnp.any(new != lab), k + 1
+
+    # First pass before the loop: tiles converge locally from raw ids
+    # (the bulk of the work), so the while body's tiles start hot.
+    lab0 = local(ids, o_r32, o_d32)
+    lab, _, iters = lax.while_loop(
+        lambda s: s[1], body, (lab0, jnp.asarray(True), jnp.int32(1)))
+    return (lab, iters) if return_iters else lab
+
+
 def cluster_coins(labels, seed: int, step):
     """uint8 (Y, X) flip mask: bit 31 of Threefry(root id) under the
     per-(step, TAG_CLUSTER|2) stream key — all sites of a cluster draw
@@ -196,17 +350,19 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     open_r, open_d = open_bonds(full, draws_r, draws_d, thr)
     # Contraction choice is PLATFORM-tuned (trajectory-neutral: every
     # variant converges to the same min-label fixpoint, asserted in
-    # tests/test_cluster.py). On TPU the pure stencil wins at every
-    # measured size — its roll/min iterations cost ~1/90 of a
-    # scan+gather iteration on chip and the gap widens with L (15x at
-    # L=1024, 45x at L=2048, Tc equilibrium), while the scan program's
-    # compile time explodes (1348 s at L=2048). On CPU the scans'
+    # tests/test_cluster.py). On TPU the Pallas tiled labeler wins at
+    # every measured size (1.1x/1.4x/7.4x the pure stencil at
+    # L=1024/2048/4096 — VMEM-local run-doubling vs one-site-per-HBM-pass
+    # propagation); the stencil backs it up for un-tileable shapes, and
+    # scan/gather variants lose outright on chip (a scan+gather
+    # iteration costs 130-450x a roll/min one, and the scan program's
+    # compile time explodes — 1348 s at L=2048). On CPU the scans'
     # near-size-stable iteration count dominates above ~2^16 spins.
     # Measured: PERF.md round 5 + scripts/experiments/exp_label_xover.py.
     if jax.devices()[0].platform == "cpu":
         labels = label_clusters(open_r, open_d, scans=Y * X >= 65536)
     else:
-        labels = label_clusters(open_r, open_d, scans=False, jumps=0)
+        labels = label_clusters_tiled(open_r, open_d)
     flip = cluster_coins(labels, seed, step)
     if field != 0.0:
         draws_g = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 3,

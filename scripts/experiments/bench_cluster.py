@@ -31,7 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 from ising_tpu import SimConfig
 from ising_tpu.cluster import (SwendsenWang, bond_threshold,
-                               label_clusters, open_bonds)
+                               label_clusters, label_clusters_tiled,
+                               open_bonds)
 from ising_tpu.constants import TCRIT
 from ising_tpu.driver import Simulation
 from ising_tpu.rng import TAG_CLUSTER, color_draws
@@ -71,15 +72,18 @@ def time_steps(advance, fence_fn, n1=2, n2=8):
 ALL_VARIANTS = (("scan+jump", dict(scans=True, jumps=1)),
                 ("scan", dict(scans=True, jumps=0)),
                 ("stencil", dict(scans=False, jumps=0)),
-                ("jump", dict(scans=False, jumps=1)))
+                ("jump", dict(scans=False, jumps=1)),
+                ("tiled", None))  # Pallas VMEM labeler (own entry point)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2048,4096")
-    ap.add_argument("--variants", default=None,
-                    help="comma list from scan+jump,scan,stencil,jump "
-                         "(default: all)")
+    ap.add_argument("--variants", default="stencil,tiled",
+                    help="comma list from scan+jump,scan,stencil,jump,"
+                         "tiled; 'all' for everything (beware: the scan "
+                         "program's first compile takes ~20 min at "
+                         "L>=2048 on TPU)")
     ap.add_argument("--temps", default="tc,1.5")
     ap.add_argument("--met-steps", type=int, default=64,
                     help="Metropolis marginal-slope base step count "
@@ -87,7 +91,8 @@ def main(argv=None):
                          "tunnel timing noise at small L")
     args = ap.parse_args(argv)
     sizes = [int(s) for s in args.sizes.split(",")]
-    pick = args.variants.split(",") if args.variants else None
+    pick = (None if args.variants in (None, "all")
+            else args.variants.split(","))
     temps = [TCRIT if t.strip() == "tc" else float(t)
              for t in args.temps.split(",")]
 
@@ -116,8 +121,12 @@ def main(argv=None):
             for name, kw in ALL_VARIANTS:
                 if pick and name not in pick:
                     continue
-                f = jax.jit(lambda a, b, kw=kw: label_clusters(
-                    a, b, return_iters=True, **kw))
+                if kw is None:
+                    f = jax.jit(lambda a, b: label_clusters_tiled(
+                        a, b, return_iters=True))
+                else:
+                    f = jax.jit(lambda a, b, kw=kw: label_clusters(
+                        a, b, return_iters=True, **kw))
                 k = int(jax.device_get(f(*states[0])[1]))  # warm + count
                 t0 = time.time()
                 for st in states:

@@ -9,7 +9,7 @@ import pytest
 
 from ising_tpu import SimConfig, analysis
 from ising_tpu.cluster import (SwendsenWang, bond_threshold, label_clusters,
-                               open_bonds, sw_step)
+                               label_clusters_tiled, open_bonds, sw_step)
 from ising_tpu.models import ising
 
 
@@ -53,6 +53,24 @@ def test_label_clusters_match_union_find(seed, p):
         got = np.asarray(label_clusters(jnp.asarray(open_r),
                                         jnp.asarray(open_d), **kw))
         np.testing.assert_array_equal(got, want, err_msg=str(kw))
+
+
+@pytest.mark.parametrize("shape", [(128, 128), (64, 256), (512, 512),
+                                   (40, 160)])
+@pytest.mark.parametrize("p", [0.0, 0.3, 0.585, 0.93, 1.0])
+def test_label_clusters_tiled_matches(shape, p):
+    """The Pallas VMEM labeler (sw_step's TPU branch; Pallas interpret
+    mode here) reaches the identical min-label fixpoint as the
+    union-find-verified label_clusters — incl. multi-tile grids
+    (512x512), non-square tiles, and a shape with no legal tile
+    (40x160 exercises the stencil fallback)."""
+    rs = np.random.RandomState(17)
+    Y, X = shape
+    open_r = jnp.asarray(rs.rand(Y, X) < p)
+    open_d = jnp.asarray(rs.rand(Y, X) < p)
+    want = np.asarray(label_clusters(open_r, open_d))
+    got = np.asarray(label_clusters_tiled(open_r, open_d))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_label_clusters_wraparound_single_cluster():
