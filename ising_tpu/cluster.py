@@ -172,8 +172,10 @@ def _local_pass_kernel(lab_ref, o_r_ref, o_d_ref, out_ref, *, ty, tx):
     from jax.experimental.pallas import tpu as pltpu  # lazy (CPU import ok)
 
     lab0 = lab_ref[...]
-    o_r = o_r_ref[...]
-    o_d = o_d_ref[...]
+    # Bonds arrive as int8 (4x less HBM than int32 planes); widen before
+    # ANY vector op — Mosaic has no i8 vector ALU.
+    o_r = o_r_ref[...].astype(jnp.int32)
+    o_d = o_d_ref[...].astype(jnp.int32)
     lane = lax.broadcasted_iota(jnp.int32, (ty, tx), 1)
     sub = lax.broadcasted_iota(jnp.int32, (ty, tx), 0)
     # Gate g_X: site may pull its X-neighbor's label (bond open, interior).
@@ -273,8 +275,8 @@ def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    o_r32 = open_r.astype(jnp.int32)
-    o_d32 = open_d.astype(jnp.int32)
+    o_r8 = open_r.astype(jnp.int8)
+    o_d8 = open_d.astype(jnp.int8)
     blk = lambda i, j: (i, j)
     spec = pl.BlockSpec((ty, tx), blk, memory_space=pltpu.VMEM)
     local = pl.pallas_call(
@@ -301,12 +303,12 @@ def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
                         jnp.roll(lab, 1, axis=0), lab)
         new = jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
                                            jnp.minimum(l_d, l_u)))
-        new = local(new, o_r32, o_d32)
+        new = local(new, o_r8, o_d8)
         return new, jnp.any(new != lab), k + 1
 
     # First pass before the loop: tiles converge locally from raw ids
     # (the bulk of the work), so the while body's tiles start hot.
-    lab0 = local(ids, o_r32, o_d32)
+    lab0 = local(ids, o_r8, o_d8)
     lab, _, iters = lax.while_loop(
         lambda s: s[1], body, (lab0, jnp.asarray(True), jnp.int32(1)))
     return (lab, iters) if return_iters else lab
@@ -333,7 +335,7 @@ def ghost_bonded_clusters(labels, ghost):
 
 
 def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
-            thr_ghost=None):
+            thr_ghost=None, tiled: bool | None = None):
     """One Swendsen-Wang update of the full (Y, X) uint8 bit lattice.
 
     A uniform field enters through the standard ghost-spin construction:
@@ -341,6 +343,11 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     ghost spin with p = 1 - exp(-2|h|/T) (thr_ghost); clusters attached
     to the ghost keep their orientation, all others flip by their root's
     coin. h = 0 reduces to the plain algorithm (no ghost stream drawn).
+
+    tiled: force the Pallas VMEM labeler on (True) / off (False);
+    None = platform default. Multi-device callers pass False — GSPMD
+    cannot partition the pallas_call, while every labeler reaches the
+    identical fixpoint, so the choice never touches trajectories.
     """
     Y, X = full.shape
     draws_r = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 0,
@@ -359,10 +366,14 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     # compile time explodes — 1348 s at L=2048). On CPU the scans'
     # near-size-stable iteration count dominates above ~2^16 spins.
     # Measured: PERF.md round 5 + scripts/experiments/exp_label_xover.py.
-    if jax.devices()[0].platform == "cpu":
+    if tiled is None:
+        tiled = jax.devices()[0].platform != "cpu"
+    if tiled:
+        labels = label_clusters_tiled(open_r, open_d)
+    elif jax.devices()[0].platform == "cpu":
         labels = label_clusters(open_r, open_d, scans=Y * X >= 65536)
     else:
-        labels = label_clusters_tiled(open_r, open_d)
+        labels = label_clusters(open_r, open_d, scans=False, jumps=0)
     flip = cluster_coins(labels, seed, step)
     if field != 0.0:
         draws_g = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 3,
@@ -428,9 +439,14 @@ class SwendsenWang:
         # so field scans at fixed sign never recompile.
         h = self.cfg.field
         sgn = 1.0 if h > 0 else (-1.0 if h < 0 else 0.0)
+        # Sharded runs keep the roll-based labeler: GSPMD partitions its
+        # rolls/reductions but cannot partition the Pallas call. Same
+        # fixpoint either way (trajectories identical by construction).
+        tiled = False if self.cfg.ndev > 1 else None
         self._step_jit = jax.jit(
             lambda f, t, tg, s: sw_step(f, t, self.cfg.seed, s,
-                                        field=sgn, thr_ghost=tg))
+                                        field=sgn, thr_ghost=tg,
+                                        tiled=tiled))
 
     def set_temperature(self, temp: float):
         self.temp = float(temp)
