@@ -248,7 +248,7 @@ def _pick_tile(Y: int, X: int):
 
 
 def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, mesh=None):
     """label_clusters, restructured for the TPU memory hierarchy.
 
     Same min-site-id fixpoint (asserted against union-find in
@@ -261,9 +261,17 @@ def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
     IN VMEM — labels cross a whole tile per outer iteration, so the
     outer count drops to ~ tiles-crossed-by-the-longest-path and HBM
     traffic drops by the local iteration count. Falls back to
-    label_clusters when the shape has no legal tile."""
+    label_clusters when the shape has no legal tile.
+
+    mesh: a 1-D row mesh for multi-device runs — the Pallas pass runs
+    per-shard under shard_map (tiles are chosen to align with the shard
+    boundary, so no tile straddles devices), while the global stencil's
+    rolls stay GSPMD-partitioned (collective permutes carry the
+    cross-shard and wrap bonds). Bit-identical to the single-device
+    labeling by the fixpoint argument."""
     Y, X = open_r.shape
-    tile = _pick_tile(Y, X)
+    ndev = 1 if mesh is None else mesh.devices.size
+    tile = _pick_tile(Y // ndev, X)
     if tile is None:
         return label_clusters(open_r, open_d, scans=False, jumps=0,
                               return_iters=return_iters)
@@ -281,14 +289,26 @@ def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
     spec = pl.BlockSpec((ty, tx), blk, memory_space=pltpu.VMEM)
     local = pl.pallas_call(
         functools.partial(_local_pass_kernel, ty=ty, tx=tx),
-        grid=(Y // ty, X // tx),
+        grid=(Y // ndev // ty, X // tx),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((Y, X), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Y // ndev, X), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from .parallel.mesh import ROW_AXIS
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        rows = P(ROW_AXIS, None)
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation; the map is trivially per-shard anyway.
+        local = shard_map(local, mesh=mesh, in_specs=(rows, rows, rows),
+                          out_specs=rows, check_vma=False)
 
     ids = jnp.arange(Y * X, dtype=jnp.int32).reshape(Y, X)
 
@@ -335,7 +355,7 @@ def ghost_bonded_clusters(labels, ghost):
 
 
 def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
-            thr_ghost=None, tiled: bool | None = None):
+            thr_ghost=None, tiled: bool | None = None, mesh=None):
     """One Swendsen-Wang update of the full (Y, X) uint8 bit lattice.
 
     A uniform field enters through the standard ghost-spin construction:
@@ -345,9 +365,10 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     coin. h = 0 reduces to the plain algorithm (no ghost stream drawn).
 
     tiled: force the Pallas VMEM labeler on (True) / off (False);
-    None = platform default. Multi-device callers pass False — GSPMD
-    cannot partition the pallas_call, while every labeler reaches the
-    identical fixpoint, so the choice never touches trajectories.
+    None = platform default. Multi-device callers pass their row mesh —
+    the Pallas pass then runs per-shard under shard_map (GSPMD cannot
+    partition a raw pallas_call). Every labeler reaches the identical
+    fixpoint, so these choices never touch trajectories.
     """
     Y, X = full.shape
     draws_r = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 0,
@@ -369,7 +390,7 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     if tiled is None:
         tiled = jax.devices()[0].platform != "cpu"
     if tiled:
-        labels = label_clusters_tiled(open_r, open_d)
+        labels = label_clusters_tiled(open_r, open_d, mesh=mesh)
     elif jax.devices()[0].platform == "cpu":
         labels = label_clusters(open_r, open_d, scans=Y * X >= 65536)
     else:
@@ -422,9 +443,12 @@ class SwendsenWang:
             # (tests/test_cluster.py).
             from jax.sharding import NamedSharding, PartitionSpec
             from .parallel.mesh import ROW_AXIS, make_mesh
+            self._mesh = make_mesh(cfg.ndev)
             self.full = jax.device_put(
-                self.full, NamedSharding(make_mesh(cfg.ndev),
+                self.full, NamedSharding(self._mesh,
                                          PartitionSpec(ROW_AXIS, None)))
+        else:
+            self._mesh = None
         self._set_thresholds()
         self._build_step()
 
@@ -439,14 +463,15 @@ class SwendsenWang:
         # so field scans at fixed sign never recompile.
         h = self.cfg.field
         sgn = 1.0 if h > 0 else (-1.0 if h < 0 else 0.0)
-        # Sharded runs keep the roll-based labeler: GSPMD partitions its
-        # rolls/reductions but cannot partition the Pallas call. Same
-        # fixpoint either way (trajectories identical by construction).
-        tiled = False if self.cfg.ndev > 1 else None
+        # Sharded runs pass the row mesh: the Pallas labeler then runs
+        # per-shard under shard_map (GSPMD cannot partition a raw
+        # pallas_call), while the global stencil's rolls stay
+        # GSPMD-partitioned. Same fixpoint on every path, so
+        # trajectories are identical by construction.
         self._step_jit = jax.jit(
             lambda f, t, tg, s: sw_step(f, t, self.cfg.seed, s,
                                         field=sgn, thr_ghost=tg,
-                                        tiled=tiled))
+                                        mesh=self._mesh))
 
     def set_temperature(self, temp: float):
         self.temp = float(temp)

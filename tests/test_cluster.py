@@ -245,6 +245,36 @@ def test_sw_sharded_matches_single():
     np.testing.assert_array_equal(np.asarray(f1.full), np.asarray(f8.full))
 
 
+def test_tiled_labeler_sharded_matches_single():
+    """The Pallas labeler under an 8-device shard_map (sw_step's
+    multi-device TPU path; interpret mode here) produces labels and
+    trajectories identical to the single-device run — tiles align with
+    the shard boundary, the global stencil carries cross-shard bonds."""
+    from ising_tpu.cluster import label_clusters_tiled
+    from ising_tpu.parallel.mesh import ROW_AXIS, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+    import jax
+
+    rs = np.random.RandomState(5)
+    Y, X = 128, 128
+    o_r = jnp.asarray(rs.rand(Y, X) < 0.585)
+    o_d = jnp.asarray(rs.rand(Y, X) < 0.585)
+    want = np.asarray(label_clusters(o_r, o_d))
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, PartitionSpec(ROW_AXIS, None))
+    got = np.asarray(label_clusters_tiled(
+        jax.device_put(o_r, sh), jax.device_put(o_d, sh), mesh=mesh))
+    np.testing.assert_array_equal(got, want)
+
+    # full sw_step through the mesh path, forced tiled, vs 1-device
+    full = jnp.asarray(rs.randint(0, 2, (Y, X)), jnp.uint8)
+    thr = jnp.uint32(bond_threshold(2.269185))
+    ref = np.asarray(sw_step(full, thr, 9, jnp.uint32(0)))
+    got = np.asarray(sw_step(jax.device_put(full, sh), thr, 9,
+                             jnp.uint32(0), tiled=True, mesh=mesh))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_sw_decorrelates_fast_at_tc():
     """The point of the feature: tau_int(|m|) at Tc stays O(1) SW steps
     (Metropolis at the same size is an order of magnitude slower)."""
