@@ -82,6 +82,22 @@ def open_bonds(full, draws_r, draws_d, thr):
     return open_r, open_d
 
 
+def _stencil_min(lab, open_r, open_d):
+    """One periodic 4-direction min-pull of labels across open bonds.
+    Own label stays in the min (labels are monotone non-increasing —
+    without it a cluster minimum with all four bonds open would LOSE its
+    label and the fixpoint loop could cycle). Shared by every labeler so
+    the bond convention lives in exactly one place."""
+    l_r = jnp.where(open_r, jnp.roll(lab, -1, axis=1), lab)
+    l_l = jnp.where(jnp.roll(open_r, 1, axis=1),
+                    jnp.roll(lab, 1, axis=1), lab)
+    l_d = jnp.where(open_d, jnp.roll(lab, -1, axis=0), lab)
+    l_u = jnp.where(jnp.roll(open_d, 1, axis=0),
+                    jnp.roll(lab, 1, axis=0), lab)
+    return jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
+                                        jnp.minimum(l_d, l_u)))
+
+
 def _seg_min_op(a, b):
     """Associative segmented-min: (running min, segment-open-through)."""
     (m1, a1), (m2, a2) = a, b
@@ -132,18 +148,7 @@ def label_clusters(open_r, open_d, *, scans: bool = True, jumps: int = 1,
 
     def body(state):
         lab, _, k = state
-        # Pull the neighbor's label across every open bond, both ways.
-        l_r = jnp.where(open_r, jnp.roll(lab, -1, axis=1), lab)
-        l_l = jnp.where(jnp.roll(open_r, 1, axis=1),
-                        jnp.roll(lab, 1, axis=1), lab)
-        l_d = jnp.where(open_d, jnp.roll(lab, -1, axis=0), lab)
-        l_u = jnp.where(jnp.roll(open_d, 1, axis=0),
-                        jnp.roll(lab, 1, axis=0), lab)
-        # Own label must stay in the min (labels are monotone
-        # non-increasing — without it a cluster minimum with all four
-        # bonds open would LOSE its label and the loop could cycle).
-        new = jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
-                                           jnp.minimum(l_d, l_u)))
+        new = _stencil_min(lab, open_r, open_d)
         if scans:
             new = jnp.minimum(new, _seg_scan_axis(new, open_r, 1))
             new = jnp.minimum(new, _seg_scan_axis(new, open_d, 0))
@@ -237,7 +242,10 @@ def _pick_tile(Y: int, X: int):
     doesn't fit the layout rules (lane dim multiple of 128, sublane
     multiple of 8). ~0.5 MB int32 planes: the kernel keeps ~a dozen
     planes live (labels, gates, chain carries) and Mosaic's register
-    allocator needs the headroom — 2 MB planes spilled and OOM'd."""
+    allocator needs the headroom — 2 MB planes spilled and OOM'd.
+    ty below int8's native 32-sublane tile is fine: verified compiled
+    on v5e at (8, 512) and (16, 512) blocks, bit-equal to the
+    stencil."""
     tx = next((t for t in (512, 256, 128) if X % t == 0), None)
     if tx is None:
         return None
@@ -300,30 +308,22 @@ def label_clusters_tiled(open_r, open_d, *, return_iters: bool = False,
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         from .parallel.mesh import ROW_AXIS
-        try:
-            shard_map = jax.shard_map
-        except AttributeError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
         rows = P(ROW_AXIS, None)
-        # check_vma=False: pallas_call's out_shape carries no varying-
-        # mesh-axes annotation; the map is trivially per-shard anyway.
-        local = shard_map(local, mesh=mesh, in_specs=(rows, rows, rows),
-                          out_specs=rows, check_vma=False)
+        kw = dict(mesh=mesh, in_specs=(rows, rows, rows), out_specs=rows)
+        try:
+            # check_vma=False: pallas_call's out_shape carries no
+            # varying-mesh-axes annotation; the map is per-shard anyway.
+            local = jax.shard_map(local, check_vma=False, **kw)
+        except AttributeError:  # pragma: no cover — older jax
+            from jax.experimental.shard_map import shard_map
+            local = shard_map(local, check_rep=False, **kw)
 
     ids = jnp.arange(Y * X, dtype=jnp.int32).reshape(Y, X)
 
     def body(state):
         lab, _, k = state
         # Global stencil step: the only mover across tile edges + wrap.
-        l_r = jnp.where(open_r, jnp.roll(lab, -1, axis=1), lab)
-        l_l = jnp.where(jnp.roll(open_r, 1, axis=1),
-                        jnp.roll(lab, 1, axis=1), lab)
-        l_d = jnp.where(open_d, jnp.roll(lab, -1, axis=0), lab)
-        l_u = jnp.where(jnp.roll(open_d, 1, axis=0),
-                        jnp.roll(lab, 1, axis=0), lab)
-        new = jnp.minimum(lab, jnp.minimum(jnp.minimum(l_r, l_l),
-                                           jnp.minimum(l_d, l_u)))
-        new = local(new, o_r8, o_d8)
+        new = local(_stencil_min(lab, open_r, open_d), o_r8, o_d8)
         return new, jnp.any(new != lab), k + 1
 
     # First pass before the loop: tiles converge locally from raw ids
@@ -379,9 +379,10 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     # Contraction choice is PLATFORM-tuned (trajectory-neutral: every
     # variant converges to the same min-label fixpoint, asserted in
     # tests/test_cluster.py). On TPU the Pallas tiled labeler wins at
-    # every measured size (1.1x/1.4x/7.4x the pure stencil at
-    # L=1024/2048/4096 — VMEM-local run-doubling vs one-site-per-HBM-pass
-    # propagation); the stencil backs it up for un-tileable shapes, and
+    # every measured size (1.2x/1.7x/9.4x/17.5x the pure stencil at
+    # L=1024/2048/4096/8192, PERF.md round 5 — VMEM-local run-doubling
+    # vs one-site-per-HBM-pass propagation); the stencil backs it up
+    # for un-tileable shapes, and
     # scan/gather variants lose outright on chip (a scan+gather
     # iteration costs 130-450x a roll/min one, and the scan program's
     # compile time explodes — 1348 s at L=2048). On CPU the scans'

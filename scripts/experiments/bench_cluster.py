@@ -93,6 +93,12 @@ def main(argv=None):
     sizes = [int(s) for s in args.sizes.split(",")]
     pick = (None if args.variants in (None, "all")
             else args.variants.split(","))
+    if pick:
+        known = {name for name, _ in ALL_VARIANTS}
+        bad = sorted(set(pick) - known)
+        if bad:
+            ap.error(f"unknown variant(s) {bad}; choose from "
+                     f"{sorted(known)} or 'all'")
     temps = [TCRIT if t.strip() == "tc" else float(t)
              for t in args.temps.split(",")]
 

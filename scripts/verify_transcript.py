@@ -47,8 +47,13 @@ def main(argv=None):
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--backend", default="bit1")
     ap.add_argument("--rng", default="chacha4b")
-    ap.add_argument("--out", default="docs/transcript_check.json")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "transcript_check.json"))
     args = ap.parse_args(argv)
+    if args.seeds < 2:
+        ap.error("--seeds must be >= 2 (the band needs a sample variance)")
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
 
     from ising_tpu import SimConfig
     from ising_tpu.driver import Simulation

@@ -55,9 +55,9 @@ def test_label_clusters_match_union_find(seed, p):
         np.testing.assert_array_equal(got, want, err_msg=str(kw))
 
 
-@pytest.mark.parametrize("shape", [(128, 128), (64, 256), (512, 512),
+@pytest.mark.parametrize("shape", [(128, 128), (64, 256), (256, 512),
                                    (40, 160)])
-@pytest.mark.parametrize("p", [0.0, 0.3, 0.585, 0.93, 1.0])
+@pytest.mark.parametrize("p", [0.0, 0.585, 1.0])
 def test_label_clusters_tiled_matches(shape, p):
     """The Pallas VMEM labeler (sw_step's TPU branch; Pallas interpret
     mode here) reaches the identical min-label fixpoint as the
