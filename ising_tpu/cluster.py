@@ -29,10 +29,12 @@ TPU-native design — no union-find, no atomics, no host round trips:
     No per-cluster lists ever materialize.
 
 Scope (fenced in __init__): ferromagnetic J = +1 (frustrated +-J has no
-FK representation), full-lattice wrap. A uniform field is supported
-through the ghost-spin construction (sw_step); multi-device runs shard
-rows and stay bit-identical to 1 device (GSPMD handles the halo/gather
-collectives).
+FK representation). Full-lattice wrap or sub-lattice replica mode
+(cfg.xsl/ysl — many independent periodic tiles per plane,
+sw_step_replica; single-device). A uniform field is supported through
+the ghost-spin construction (sw_step); multi-device full-wrap runs
+shard rows and stay bit-identical to 1 device (GSPMD handles the
+halo/gather collectives, the Pallas labeler rides shard_map).
 
 Wolff is deliberately absent: single-cluster Wolff is exactly "label the
 FK clusters, flip the one containing a uniform random site" — on a
@@ -406,6 +408,68 @@ def sw_step(full, thr, seed: int, step, *, field: float = 0.0,
     return full ^ flip
 
 
+def sw_step_replica(full, thr, seed: int, step, *, xsl: int, ysl: int,
+                    field: float = 0.0, thr_ghost=None):
+    """One Swendsen-Wang update of many independent (ysl, xsl) replicas
+    packed into one (Y, X) plane — the reference's sub-lattice replica
+    mode (optimized/README.md:143-199, periodic WITHIN each tile)
+    married to the cluster algorithm (no reference analog).
+
+    Bond draws use the same global-position counter streams as sw_step,
+    so each replica's trajectory is a pure function of (seed, step,
+    tile position) — reproducible across device counts like everything
+    else. Bonds wrap within their replica (tile_roll), replicas batch
+    onto a leading axis for the vmapped labeling, and root ids are
+    globalized (+ replica * ysl * xsl) so every replica's clusters draw
+    independent coins from the shared streams. A uniform field uses the
+    same ghost construction per replica (root-id scatter-max is already
+    replica-safe under global ids)."""
+    Y, X = full.shape
+    nry, nrx = Y // ysl, X // xsl
+    draws_r = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 0,
+                          row_stride=X)
+    draws_d = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 1,
+                          row_stride=X)
+
+    def tile_roll(a, axis):
+        # within-replica periodic "next" neighbor along axis
+        if axis == 1:
+            return jnp.roll(a.reshape(Y, nrx, xsl), -1, axis=2
+                            ).reshape(Y, X)
+        return jnp.roll(a.reshape(nry, ysl, X), -1, axis=1).reshape(Y, X)
+
+    t = jnp.uint32(thr)
+    open_r = (full == tile_roll(full, 1)) & (draws_r <= t)
+    open_d = (full == tile_roll(full, 0)) & (draws_d <= t)
+
+    def to_batch(a):
+        return (a.reshape(nry, ysl, nrx, xsl).transpose(0, 2, 1, 3)
+                .reshape(nry * nrx, ysl, xsl))
+
+    def from_batch(a):
+        return (a.reshape(nry, nrx, ysl, xsl).transpose(0, 2, 1, 3)
+                .reshape(Y, X))
+
+    # Replica graphs are standard periodic (ysl, xsl) graphs; vmap the
+    # roll-based labeler (the Pallas tiled labeler has no batching rule,
+    # and replicas are small by construction — gathers stay off the hot
+    # path with jumps=0 on accelerators).
+    on_cpu = jax.devices()[0].platform == "cpu"
+    lab_b = jax.vmap(lambda a, b: label_clusters(
+        a, b, scans=on_cpu and ysl * xsl >= 65536, jumps=0))(
+            to_batch(open_r), to_batch(open_d))
+    rep = jnp.arange(nry * nrx, dtype=jnp.int32)[:, None, None]
+    lab_b = lab_b + rep * jnp.int32(ysl * xsl)
+    flip = cluster_coins(lab_b, seed, step)
+    if field != 0.0:
+        draws_g = color_draws(seed, Y, X, step=step, tag=TAG_CLUSTER | 3,
+                              row_stride=X)
+        aligned = to_batch(full) == jnp.uint8(1 if field > 0 else 0)
+        ghost = aligned & (to_batch(draws_g) <= jnp.uint32(thr_ghost))
+        flip = flip & (1 - ghost_bonded_clusters(lab_b, ghost))
+    return full ^ from_batch(flip)
+
+
 class SwendsenWang:
     """Cluster-update driver sharing the SimConfig surface and seed/init
     contract with Simulation (same initial lattice for the same seed, so
@@ -423,10 +487,10 @@ class SwendsenWang:
             raise ValueError("Swendsen-Wang needs a ferromagnetic "
                              "Hamiltonian (frustrated +-J has no FK "
                              "cluster representation)")
-        if cfg.xsl is not None:
-            raise ValueError("cluster updates are full-lattice wrap only "
-                             "(sub-lattice replicas have no shared "
-                             "percolation structure)")
+        if cfg.xsl is not None and cfg.ndev > 1:
+            raise ValueError("replica cluster updates are single-device "
+                             "(the replica batch transpose has no "
+                             "sharded path yet); drop --devs or xsl/ysl")
         if cfg.nrows * cfg.ncols >= 2 ** 31:
             raise ValueError("labels are int32 site ids: needs "
                              "nrows * ncols < 2^31")
@@ -469,10 +533,17 @@ class SwendsenWang:
         # pallas_call), while the global stencil's rolls stay
         # GSPMD-partitioned. Same fixpoint on every path, so
         # trajectories are identical by construction.
-        self._step_jit = jax.jit(
-            lambda f, t, tg, s: sw_step(f, t, self.cfg.seed, s,
-                                        field=sgn, thr_ghost=tg,
-                                        mesh=self._mesh))
+        if self.cfg.xsl is not None:
+            xsl, ysl = self.cfg.xsl, self.cfg.ysl
+            self._step_jit = jax.jit(
+                lambda f, t, tg, s: sw_step_replica(
+                    f, t, self.cfg.seed, s, xsl=xsl, ysl=ysl,
+                    field=sgn, thr_ghost=tg))
+        else:
+            self._step_jit = jax.jit(
+                lambda f, t, tg, s: sw_step(f, t, self.cfg.seed, s,
+                                            field=sgn, thr_ghost=tg,
+                                            mesh=self._mesh))
 
     def set_temperature(self, temp: float):
         self.temp = float(temp)
@@ -533,6 +604,17 @@ class SwendsenWang:
         """Compact (black, white) planes of the current state — the same
         storage Simulation(state=...) accepts, for hybrid protocols."""
         return full_to_compact(self.full)
+
+    def replica_magnetizations(self):
+        """|m| per sub-lattice replica (flattened) — the measurement
+        the tc_sweep/Binder workloads feed to analysis.py. Requires
+        replica mode (cfg.xsl/ysl)."""
+        if self.cfg.xsl is None:
+            raise ValueError("replica_magnetizations needs replica mode "
+                             "(cfg.xsl/ysl)")
+        from . import observables
+        return observables.replica_magnetizations(
+            *self.bits(), xsl=self.cfg.xsl, ysl=self.cfg.ysl)
 
     def fourier_partials(self):
         """Exact (per-row, per-column) up counts, int64 numpy — the same

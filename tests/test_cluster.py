@@ -130,9 +130,9 @@ def test_config_fencing():
     with pytest.raises(ValueError, match="ferromagnetic"):
         SwendsenWang(SimConfig(nrows=8, ncols=16, temp=2.0, backend="xla",
                                j_prob=0.3))
-    with pytest.raises(ValueError, match="full-lattice"):
-        SwendsenWang(SimConfig(nrows=16, ncols=16, temp=2.0, backend="xla",
-                               xsl=8, ysl=8))
+    with pytest.raises(ValueError, match="single-device"):
+        SwendsenWang(SimConfig(nrows=64, ncols=64, temp=2.0, backend="xla",
+                               xsl=8, ysl=8, ndev=8))
     with pytest.raises(ValueError, match="decoded"):
         SwendsenWang(SimConfig(nrows=8, ncols=64, temp=2.0,
                                backend="bit1"))
@@ -273,6 +273,91 @@ def test_tiled_labeler_sharded_matches_single():
     got = np.asarray(sw_step(jax.device_put(full, sh), thr, 9,
                              jnp.uint32(0), tiled=True, mesh=mesh))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sw_replica_independence_and_graph():
+    """Replica-mode SW: (a) replicas are dynamically independent —
+    changing replica (0,0)'s initial content leaves every other
+    replica's trajectory bit-unchanged under the same streams; (b) each
+    replica's bond graph is the standard periodic (ysl, xsl) graph (its
+    open-bond tiles labeled per replica match union-find)."""
+    from ising_tpu.cluster import sw_step_replica
+    Y, X, ysl, xsl = 32, 48, 16, 16
+    rs = np.random.RandomState(3)
+    full = jnp.asarray(rs.randint(0, 2, (Y, X)), jnp.uint8)
+    thr = jnp.uint32(bond_threshold(2.269185))
+    a = full
+    for s in range(3):
+        a = sw_step_replica(a, thr, 11, jnp.uint32(s), xsl=xsl, ysl=ysl)
+    # perturb ONLY replica (0,0)
+    full2 = full.at[:ysl, :xsl].set(1 - full[:ysl, :xsl])
+    b = full2
+    for s in range(3):
+        b = sw_step_replica(b, thr, 11, jnp.uint32(s), xsl=xsl, ysl=ysl)
+    a, b = np.asarray(a), np.asarray(b)
+    outside = np.ones((Y, X), bool)
+    outside[:ysl, :xsl] = False
+    np.testing.assert_array_equal(a[outside], b[outside])
+    assert (a[:ysl, :xsl] != b[:ysl, :xsl]).any()
+
+    # (b) bond topology end-to-end: independently rebuild the
+    # within-tile periodic FK bonds (scalar, naive_color_sweep's tile
+    # neighbor convention), union-find each replica, and assert one
+    # sw_step_replica flips every cluster as a unit.
+    from ising_tpu.cluster import color_draws, TAG_CLUSTER
+    dr = np.asarray(color_draws(11, Y, X, step=jnp.uint32(0),
+                                tag=TAG_CLUSTER | 0, row_stride=X))
+    dd = np.asarray(color_draws(11, Y, X, step=jnp.uint32(0),
+                                tag=TAG_CLUSTER | 1, row_stride=X))
+    fr = np.asarray(full)
+    t = int(thr)
+    flip = fr ^ np.asarray(sw_step_replica(full, thr, 11, jnp.uint32(0),
+                                           xsl=xsl, ysl=ysl))
+    for ry in range(0, Y, ysl):
+        for rx in range(0, X, xsl):
+            o_r = np.zeros((ysl, xsl), bool)
+            o_d = np.zeros((ysl, xsl), bool)
+            for y in range(ysl):
+                for x in range(xsl):
+                    gy, gx = ry + y, rx + x
+                    o_r[y, x] = (fr[gy, gx] == fr[gy, rx + (x + 1) % xsl]
+                                 and dr[gy, gx] <= t)
+                    o_d[y, x] = (fr[gy, gx] == fr[ry + (y + 1) % ysl, gx]
+                                 and dd[gy, gx] <= t)
+            labels = uf_labels(o_r, o_d)
+            tile_flip = flip[ry:ry + ysl, rx:rx + xsl]
+            for root in np.unique(labels):
+                vals = np.unique(tile_flip[labels == root])
+                assert len(vals) == 1, (ry, rx, root, vals)
+
+
+def test_sw_replica_equilibrium_matches_onsager():
+    """16 independent 32^2 replicas in one 128x128 plane: the pooled
+    equilibrium energy at T=1.5 must hit the Onsager value — the same
+    physics gate as the full-lattice SW test, through the replica path
+    (within-tile wrap bonds, globalized coins)."""
+    from ising_tpu.observables import energy_per_spin
+    from ising_tpu.lattice import full_to_compact
+    cfg = SimConfig(nrows=128, ncols=128, temp=1.5, seed=5,
+                    backend="xla", xsl=32, ysl=32)
+    sw = SwendsenWang(cfg)
+    sw.advance(30)
+    es = []
+    for _ in range(12):
+        sw.advance(2)
+        # per-replica wrap energy: full-lattice energy_per_spin would
+        # count the closed inter-replica bonds; slice one replica out
+        f = np.asarray(sw.full)
+        for ry in range(0, 128, 32):
+            e = full_to_compact(jnp.asarray(f[ry:ry + 32, :32]))
+            es.append(float(energy_per_spin(*e)))
+    onsager = -1.9511  # exact E/N at T=1.5
+    got = float(np.mean(es))
+    assert abs(got - onsager) < 0.03, (got, onsager)
+    # per-replica magnetization surface works
+    ms = sw.replica_magnetizations()
+    assert len(np.ravel(ms)) == 16
+    assert 0.8 < float(np.mean(np.abs(ms))) <= 1.0  # ordered at T=1.5
 
 
 def test_sw_decorrelates_fast_at_tc():
