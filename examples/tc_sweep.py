@@ -25,7 +25,8 @@ from ising_tpu.driver import Simulation
 from ising_tpu.observables import replica_magnetizations
 
 
-def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
+def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed,
+          algo="metropolis"):
     u4 = {L: [] for L in sizes}
     u4e = {L: [] for L in sizes}
     for L in sizes:
@@ -34,10 +35,20 @@ def sweep(sizes, temps, replicas, warmup, measure, every, backend, seed):
         rx = max(1, int(math.sqrt(replicas)))
         ry = (replicas + rx - 1) // rx
         cfg_kw = dict(nrows=ry * L, ncols=rx * L, xsl=L, ysl=L,
-                      backend=backend, seed=seed)
+                      backend="xla" if algo == "sw" else backend,
+                      seed=seed)
         for t in temps:
-            sim = Simulation(SimConfig(temp=float(t), niters=warmup + measure,
-                                       **cfg_kw))
+            if algo == "sw":
+                # Replica-mode Swendsen-Wang: every replica decorrelates
+                # in ~3 cluster updates even AT Tc, so warmup/measure
+                # counts can be ~100x smaller than Metropolis sweeps
+                # for the same effective sample size.
+                from ising_tpu.cluster import SwendsenWang
+                sim = SwendsenWang(SimConfig(temp=float(t), **cfg_kw))
+            else:
+                sim = Simulation(SimConfig(temp=float(t),
+                                           niters=warmup + measure,
+                                           **cfg_kw))
             sim.advance(warmup)
             acc = MomentAccumulator()
             per_replica = []  # per-replica mean moments -> jackknife error
@@ -75,12 +86,17 @@ def main(argv=None):
     ap.add_argument("--every", type=int, default=4)
     ap.add_argument("--backend", default="xla")
     ap.add_argument("--seed", type=int, default=20260816)
+    ap.add_argument("--algo", default="metropolis",
+                    choices=("metropolis", "sw"),
+                    help="sw = replica-mode Swendsen-Wang: warmup/"
+                         "measure/every count SW updates (use ~100x "
+                         "smaller values than Metropolis sweeps)")
     args = ap.parse_args(argv)
 
     sizes = [int(s) for s in args.sizes.split(",")]
     temps = np.linspace(args.tmin, args.tmax, args.ntemps)
     u4, u4e = sweep(sizes, temps, args.replicas, args.warmup, args.measure,
-                    args.every, args.backend, args.seed)
+                    args.every, args.backend, args.seed, algo=args.algo)
     tc = binder_crossing(temps, {L: np.asarray(v) for L, v in u4.items()})
     print(f"\nBinder crossing estimate: Tc ~ {tc:.4f} "
           f"(exact {TCRIT:.6f}, error {abs(tc - TCRIT) / TCRIT * 100:.2f}%)")
